@@ -1,0 +1,277 @@
+"""Typed configuration + reference-compatible CLI (SURVEY.md SS2 C3, SS6 config row).
+
+The reference uses layered argparse options (``options/base_options.py`` +
+train/test variants, pix2pix-template style). Here the single source of truth
+is a frozen dataclass tree; the CLI layer exposes the reference's public flag
+names (``--dataroot --name --model --load_size --crop_size --batch_size
+--niter --lr --lambda_L1 --epoch ...``) plus TPU-native additions
+(mesh shape, bf16 policy, pallas pipeline toggles).
+
+Everything that reaches a jitted function is static and hashable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+# --------------------------------------------------------------------------- #
+# dataclasses
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline config (reference L5, SURVEY.md SS2 C10/C11)."""
+
+    dataroot: str = "./datasets/utkface"
+    dataset_mode: str = "aging"      # aging | pairwise | single | synthetic
+    load_size: int = 143             # resize shorter side to this ...
+    crop_size: int = 128             # ... then (random|center) crop to this
+    preprocess: str = "resize_and_crop"  # resize_and_crop|crop|resize|none
+    no_flip: bool = False
+    serial_batches: bool = False
+    num_threads: int = 4             # host-side decode workers
+    max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
+    batch_size: int = 8              # GLOBAL batch (split across data mesh axis)
+    input_nc: int = 3
+    output_nc: int = 3
+    n_age_bins: int = 10             # condition cardinality (C11)
+    max_age: int = 116               # UTKFace age range upper bound
+    pallas_pipeline: bool = True     # fused on-device crop/flip/normalize
+    prefetch: int = 2                # device-prefetch depth
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture config (reference L4, SURVEY.md SS2 C6/C7/C8)."""
+
+    model: str = "pcgan"             # pcgan | comparator
+    netG: str = "resnet_9blocks"     # resnet_9blocks|resnet_6blocks|unet_128|unet_256
+    netD: str = "basic"              # basic | n_layers | pixel
+    ngf: int = 64
+    ndf: int = 64
+    n_layers_D: int = 3
+    norm: str = "instance"           # instance | batch | group | none
+    init_type: str = "normal"        # normal | xavier | kaiming | orthogonal
+    init_gain: float = 0.02
+    no_dropout: bool = True
+    cond_inject: str = "input"       # input | bottleneck (where cond map concats)
+    # comparator (C8)
+    cmp_nf: int = 64
+    cmp_n_down: int = 4
+    tie_margin: float = 0.5          # Thurstone-with-ties decision margin
+    # numerics
+    dtype: str = "bfloat16"          # compute dtype on TPU; params stay f32
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + schedule config (reference train options, SURVEY.md SS2 C3/C14)."""
+
+    lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    gan_mode: str = "lsgan"          # vanilla | lsgan | wgangp | hinge
+    lambda_L1: float = 100.0         # identity/reconstruction weight
+    lambda_cond: float = 10.0        # comparator condition-consistency weight
+    lambda_gp: float = 10.0          # gradient penalty (wgangp only)
+    pool_size: int = 50              # fake-image pool for D (C12)
+    niter: int = 100                 # epochs at constant lr
+    niter_decay: int = 100           # epochs of linear lr decay to 0
+    lr_policy: str = "linear"        # linear | step | cosine | constant
+    lr_decay_iters: int = 50
+    epoch_count: int = 1
+    continue_train: bool = False
+    seed: int = 0
+    # cadence
+    print_freq: int = 100
+    display_freq: int = 400
+    save_latest_freq: int = 5000
+    save_epoch_freq: int = 5
+    # comparator pretraining
+    comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh / sharding config (SURVEY.md SS3.1/SS3.2 — the new repo's `parallel/`)."""
+
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 == all local devices on the axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    spatial_shards: int = 1               # >1: shard H dim of activations (256px HBM relief)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Experiment bookkeeping (reference `--name`, checkpoints dir, test opts)."""
+
+    name: str = "experiment"
+    checkpoints_dir: str = "./checkpoints"
+    results_dir: str = "./results"
+    phase: str = "train"
+    epoch: str = "latest"            # which checkpoint to load at test time
+    num_test: int = 50
+    eval: bool = False
+    verbose: bool = False
+    isTrain: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    @property
+    def cond_nc(self) -> int:
+        return self.data.n_age_bins
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def save(self, path: str) -> None:
+        """Serialize next to checkpoints (reference dumps `opt.txt`)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+
+def replace(cfg, **kw):
+    """`dataclasses.replace` passthrough for nested one-level updates."""
+    return dataclasses.replace(cfg, **kw)
+
+
+# --------------------------------------------------------------------------- #
+# CLI — reference-compatible flag surface
+# --------------------------------------------------------------------------- #
+
+# flag -> (section, field). Names mirror the reference's public options
+# (train.py/test.py-style) so reference users can switch without relearning.
+_FLAG_MAP = {
+    # base options
+    "dataroot": ("data", "dataroot"),
+    "dataset_mode": ("data", "dataset_mode"),
+    "load_size": ("data", "load_size"),
+    "crop_size": ("data", "crop_size"),
+    "preprocess": ("data", "preprocess"),
+    "no_flip": ("data", "no_flip"),
+    "serial_batches": ("data", "serial_batches"),
+    "num_threads": ("data", "num_threads"),
+    "max_dataset_size": ("data", "max_dataset_size"),
+    "batch_size": ("data", "batch_size"),
+    "input_nc": ("data", "input_nc"),
+    "output_nc": ("data", "output_nc"),
+    "n_age_bins": ("data", "n_age_bins"),
+    "pallas_pipeline": ("data", "pallas_pipeline"),
+    "prefetch": ("data", "prefetch"),
+    "model": ("model", "model"),
+    "netG": ("model", "netG"),
+    "netD": ("model", "netD"),
+    "ngf": ("model", "ngf"),
+    "ndf": ("model", "ndf"),
+    "n_layers_D": ("model", "n_layers_D"),
+    "norm": ("model", "norm"),
+    "init_type": ("model", "init_type"),
+    "init_gain": ("model", "init_gain"),
+    "no_dropout": ("model", "no_dropout"),
+    "cond_inject": ("model", "cond_inject"),
+    "tie_margin": ("model", "tie_margin"),
+    "dtype": ("model", "dtype"),
+    "name": ("run", "name"),
+    "checkpoints_dir": ("run", "checkpoints_dir"),
+    "verbose": ("run", "verbose"),
+    # train options
+    "lr": ("train", "lr"),
+    "beta1": ("train", "beta1"),
+    "gan_mode": ("train", "gan_mode"),
+    "lambda_L1": ("train", "lambda_L1"),
+    "lambda_cond": ("train", "lambda_cond"),
+    "lambda_gp": ("train", "lambda_gp"),
+    "pool_size": ("train", "pool_size"),
+    "niter": ("train", "niter"),
+    "niter_decay": ("train", "niter_decay"),
+    "lr_policy": ("train", "lr_policy"),
+    "lr_decay_iters": ("train", "lr_decay_iters"),
+    "epoch_count": ("train", "epoch_count"),
+    "continue_train": ("train", "continue_train"),
+    "seed": ("train", "seed"),
+    "print_freq": ("train", "print_freq"),
+    "display_freq": ("train", "display_freq"),
+    "save_latest_freq": ("train", "save_latest_freq"),
+    "save_epoch_freq": ("train", "save_epoch_freq"),
+    "comparator_path": ("train", "comparator_path"),
+    # test options
+    "results_dir": ("run", "results_dir"),
+    "phase": ("run", "phase"),
+    "epoch": ("run", "epoch"),
+    "num_test": ("run", "num_test"),
+    "eval": ("run", "eval"),
+    # parallel
+    "spatial_shards": ("parallel", "spatial_shards"),
+}
+
+_SECTION_TYPES = {
+    "data": DataConfig,
+    "model": ModelConfig,
+    "train": TrainConfig,
+    "parallel": ParallelConfig,
+    "run": RunConfig,
+}
+
+
+def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="pcgan_tpu — TPU-native PC-GAN "
+        + ("training" if is_train else "testing"),
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    seen = set()
+    for flag, (section, fname) in _FLAG_MAP.items():
+        if flag in seen:
+            continue
+        seen.add(flag)
+        f = next(x for x in dataclasses.fields(_SECTION_TYPES[section]) if x.name == fname)
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            # boolean flags: store_true if default False, BooleanOptionalAction-ish otherwise
+            if default is False:
+                p.add_argument(f"--{flag}", action="store_true", default=None)
+            else:
+                p.add_argument(f"--{flag}", action=argparse.BooleanOptionalAction, default=None)
+        else:
+            typ = type(default) if default is not None else str
+            p.add_argument(f"--{flag}", type=typ, default=None)
+    p.add_argument("--mesh_shape", type=str, default=None,
+                   help="comma-separated mesh, e.g. '8' or '4,2'; -1 = all devices")
+    p.add_argument("--gpu_ids", type=str, default=None,
+                   help="accepted for reference CLI compatibility; ignored "
+                        "(device placement is mesh-driven on TPU)")
+    return p
+
+
+def parse_config(argv=None, is_train: bool = True) -> Config:
+    """Parse argv into a Config; only explicitly-passed flags override defaults."""
+    args = build_parser(is_train).parse_args(argv)
+    sections = {k: {} for k in _SECTION_TYPES}
+    for flag, (section, fname) in _FLAG_MAP.items():
+        v = getattr(args, flag, None)
+        if v is not None:
+            sections[section][fname] = v
+    if args.mesh_shape is not None:
+        sections["parallel"]["mesh_shape"] = tuple(
+            int(x) for x in args.mesh_shape.split(","))
+        n = len(sections["parallel"]["mesh_shape"])
+        sections["parallel"]["mesh_axes"] = tuple(
+            ["data", "model", "spatial"][:n])
+    sections["run"]["isTrain"] = is_train
+    if not is_train:
+        sections["run"].setdefault("phase", "test")
+    return Config(**{k: _SECTION_TYPES[k](**v) for k, v in sections.items()})

@@ -1,0 +1,204 @@
+"""Conditional generators (SURVEY.md SS2 C6): Resnet and U-Net encoder-decoders.
+
+Behavioral spec (from the pix2pix template family the reference derives from,
+SURVEY.md SS0 [T] — reference mount empty, no file:line citations possible):
+
+ResnetGenerator (``--netG resnet_9blocks|resnet_6blocks``):
+  ReflectionPad(3) -> Conv7x7(ngf) -> norm -> ReLU
+  -> 2x [Conv3x3 s2 p1 (ngf*2, ngf*4) -> norm -> ReLU]          (downsample)
+  -> n_blocks x ResnetBlock(reflect-pad Conv3x3 + norm + ReLU [+ dropout],
+                            reflect-pad Conv3x3 + norm, residual add)
+  -> 2x [ConvTranspose3x3 s2 p1 op1 -> norm -> ReLU]            (upsample)
+  -> ReflectionPad(3) -> Conv7x7(output_nc) -> tanh
+
+UnetGenerator (``--netG unet_128|unet_256``): recursive U-Net of
+  down:  LeakyReLU(0.2) <- Conv4x4 s2 p1   (outermost: bare conv)
+  up:    ReLU -> ConvTranspose4x4 s2 p1 -> norm (innermost/outermost variants)
+  skip:  channel-concat at every level; tanh at the outermost output.
+
+Conditioning (PC-GAN, arXiv:1911.09298): the age condition — a one-hot over
+``n_age_bins`` (or a continuous comparator score) — is broadcast to an HxW map
+and channel-concatenated to the input (``cond_inject='input'``) or to the
+bottleneck features (``'bottleneck'``).
+
+TPU-first notes: NHWC throughout; compute dtype bf16 / params f32; the
+transposed convs lower to single ``conv_general_dilated`` calls (layers.py);
+everything is static-shaped and jit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcgan_tpu.models.layers import (
+    Norm, ResizeConv, TorchConv, TorchConvTranspose, norm_uses_bias, pad2d)
+
+Dtype = Any
+
+
+def broadcast_cond(cond: jnp.ndarray, h: int, w: int,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """(N, C_cond) condition vector -> (N, H, W, C_cond) constant map."""
+    return jnp.broadcast_to(
+        cond[:, None, None, :].astype(dtype), (cond.shape[0], h, w, cond.shape[-1]))
+
+
+class ResnetBlock(nn.Module):
+    dim: int
+    norm: str = "instance"
+    use_dropout: bool = False
+    pad_mode: str = "reflect"
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        use_bias = norm_uses_bias(self.norm)
+        h = pad2d(x, 1, self.pad_mode)
+        h = TorchConv(self.dim, 3, 1, 0, use_bias=use_bias, dtype=self.dtype,
+                      kernel_init=self.kernel_init)(h)
+        h = Norm(self.norm, self.dtype)(h, train)
+        h = nn.relu(h)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        h = pad2d(h, 1, self.pad_mode)
+        h = TorchConv(self.dim, 3, 1, 0, use_bias=use_bias, dtype=self.dtype,
+                      kernel_init=self.kernel_init)(h)
+        h = Norm(self.norm, self.dtype)(h, train)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    n_downsampling: int = 2
+    norm: str = "instance"
+    use_dropout: bool = False
+    cond_inject: str = "input"       # input | bottleneck
+    upsample: str = "deconv"         # deconv (parity) | resize_conv (fast path)
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        """x: (N,H,W,input_nc) in [-1,1]; cond: (N,cond_nc). Returns (N,H,W,out_nc)."""
+        use_bias = norm_uses_bias(self.norm)
+        kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
+
+        if self.cond_inject == "input":
+            x = jnp.concatenate(
+                [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
+
+        h = pad2d(x, 3, "reflect")
+        h = TorchConv(self.ngf, 7, 1, 0, use_bias=use_bias, **kw)(h)
+        h = Norm(self.norm, self.dtype)(h, train)
+        h = nn.relu(h)
+
+        for i in range(self.n_downsampling):
+            mult = 2 ** i
+            h = TorchConv(self.ngf * mult * 2, 3, 2, 1, use_bias=use_bias, **kw)(h)
+            h = Norm(self.norm, self.dtype)(h, train)
+            h = nn.relu(h)
+
+        if self.cond_inject == "bottleneck":
+            h = jnp.concatenate(
+                [h, broadcast_cond(cond, h.shape[1], h.shape[2], h.dtype)], -1)
+            # project back to the resnet trunk width so blocks stay residual
+            mult = 2 ** self.n_downsampling
+            h = TorchConv(self.ngf * mult, 1, 1, 0, use_bias=use_bias, **kw)(h)
+
+        mult = 2 ** self.n_downsampling
+        for _ in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * mult, self.norm, self.use_dropout,
+                            dtype=self.dtype, kernel_init=self.kernel_init)(h, train)
+
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            feats = int(self.ngf * mult / 2)
+            if self.upsample == "deconv":
+                h = TorchConvTranspose(feats, 3, 2, 1, 1, use_bias=use_bias,
+                                       **kw)(h)
+            else:
+                h = ResizeConv(feats, 2, use_bias=use_bias, **kw)(h)
+            h = Norm(self.norm, self.dtype)(h, train)
+            h = nn.relu(h)
+
+        h = pad2d(h, 3, "reflect")
+        h = TorchConv(self.output_nc, 7, 1, 0, use_bias=True, **kw)(h)
+        return jnp.tanh(h.astype(jnp.float32))
+
+
+class UnetSkipBlock(nn.Module):
+    """One U-Net level (template's ``UnetSkipConnectionBlock`` semantics)."""
+
+    outer_nc: int
+    inner_nc: int
+    submodule: Any = None
+    outermost: bool = False
+    innermost: bool = False
+    norm: str = "instance"
+    use_dropout: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        use_bias = norm_uses_bias(self.norm)
+        kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
+
+        # down
+        h = x if self.outermost else nn.leaky_relu(x, 0.2)
+        h = TorchConv(self.inner_nc, 4, 2, 1, use_bias=use_bias or self.outermost,
+                      **kw)(h)
+        if not (self.outermost or self.innermost):
+            h = Norm(self.norm, self.dtype)(h, train)
+
+        if self.submodule is not None:
+            h = self.submodule(h, train)
+
+        # up
+        h = nn.relu(h)
+        if self.outermost:
+            h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=True,
+                                   **kw)(h)
+            return jnp.tanh(h.astype(jnp.float32))
+        h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=use_bias,
+                               **kw)(h)
+        h = Norm(self.norm, self.dtype)(h, train)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class UnetGenerator(nn.Module):
+    output_nc: int = 3
+    ngf: int = 64
+    num_downs: int = 7               # unet_128: 7, unet_256: 8
+    norm: str = "instance"
+    use_dropout: bool = False
+    cond_inject: str = "input"
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        if self.cond_inject == "input":
+            x = jnp.concatenate(
+                [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
+        kw = dict(norm=self.norm, dtype=self.dtype, kernel_init=self.kernel_init)
+        blk = UnetSkipBlock(self.ngf * 8, self.ngf * 8, innermost=True, **kw)
+        for _ in range(self.num_downs - 5):
+            blk = UnetSkipBlock(self.ngf * 8, self.ngf * 8, submodule=blk,
+                                use_dropout=self.use_dropout, **kw)
+        blk = UnetSkipBlock(self.ngf * 4, self.ngf * 8, submodule=blk, **kw)
+        blk = UnetSkipBlock(self.ngf * 2, self.ngf * 4, submodule=blk, **kw)
+        blk = UnetSkipBlock(self.ngf, self.ngf * 2, submodule=blk, **kw)
+        blk = UnetSkipBlock(self.output_nc, self.ngf, submodule=blk,
+                            outermost=True, **kw)
+        return blk(x, train)

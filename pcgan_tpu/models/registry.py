@@ -1,0 +1,76 @@
+"""Network factories keyed by the reference's ``--netG`` / ``--netD`` strings
+(SURVEY.md SS2 C6/C7: the ``define_G`` / ``define_D`` surface).
+
+Unlike the reference (which instantiates + initializes + DataParallel-wraps
+torch modules), these return pure Flax module definitions; initialization is a
+separate explicit ``init_params`` call so param creation composes with jit,
+mesh sharding and the checkpoint importer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcgan_tpu.config import Config
+from pcgan_tpu.models.comparator import Comparator
+from pcgan_tpu.models.discriminator import NLayerDiscriminator, PixelDiscriminator
+from pcgan_tpu.models.generator import ResnetGenerator, UnetGenerator
+from pcgan_tpu.models.layers import make_initializer
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "float16": jnp.float16}
+
+
+def _common(cfg: Config):
+    return dict(
+        norm=cfg.model.norm,
+        dtype=_DTYPES[cfg.model.dtype],
+        kernel_init=make_initializer(cfg.model.init_type, cfg.model.init_gain),
+    )
+
+
+def define_G(cfg: Config) -> nn.Module:
+    name = cfg.model.netG
+    base, _, variant = name.partition("@")     # e.g. resnet_9blocks@resize_conv
+    kw = _common(cfg)
+    kw.update(output_nc=cfg.data.output_nc, ngf=cfg.model.ngf,
+              use_dropout=not cfg.model.no_dropout,
+              cond_inject=cfg.model.cond_inject)
+    if base == "resnet_9blocks":
+        return ResnetGenerator(n_blocks=9, upsample=variant or "deconv", **kw)
+    if base == "resnet_6blocks":
+        return ResnetGenerator(n_blocks=6, upsample=variant or "deconv", **kw)
+    if base == "unet_128":
+        return UnetGenerator(num_downs=7, **kw)
+    if base == "unet_256":
+        return UnetGenerator(num_downs=8, **kw)
+    raise NotImplementedError(f"netG [{name}] not implemented")
+
+
+def define_D(cfg: Config) -> nn.Module:
+    name = cfg.model.netD
+    kw = _common(cfg)
+    if name == "basic":
+        return NLayerDiscriminator(ndf=cfg.model.ndf, n_layers=3, **kw)
+    if name == "n_layers":
+        return NLayerDiscriminator(ndf=cfg.model.ndf,
+                                   n_layers=cfg.model.n_layers_D, **kw)
+    if name == "pixel":
+        return PixelDiscriminator(ndf=cfg.model.ndf, **kw)
+    raise NotImplementedError(f"netD [{name}] not implemented")
+
+
+def define_C(cfg: Config) -> nn.Module:
+    return Comparator(nf=cfg.model.cmp_nf, n_down=cfg.model.cmp_n_down,
+                      **_common(cfg))
+
+
+def init_params(module: nn.Module, rng: jax.Array, *example_args,
+                train: bool = True) -> Any:
+    """Initialize variables (params + any batch_stats) for a module."""
+    return module.init({"params": rng, "dropout": rng}, *example_args,
+                       train=train)

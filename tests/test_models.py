@@ -1,0 +1,104 @@
+"""Shape/dtype tests for every network at multiple resolutions (SURVEY.md SS5.1)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pcgan_tpu.config import Config, DataConfig, ModelConfig, replace
+from pcgan_tpu.models.registry import define_C, define_D, define_G, init_params
+
+
+def _cfg(**model_kw):
+    return Config(model=ModelConfig(dtype="float32", **model_kw),
+                  data=DataConfig())
+
+
+@pytest.mark.parametrize("netG,size", [
+    ("resnet_9blocks", 64), ("resnet_6blocks", 64),
+    ("unet_128", 128), ("resnet_9blocks@resize_conv", 64),
+])
+def test_generator_shapes(netG, size, rng):
+    cfg = _cfg(netG=netG)
+    G = define_G(cfg)
+    x = jnp.zeros((2, size, size, 3))
+    cond = jnp.eye(cfg.data.n_age_bins)[:2]
+    variables = init_params(G, rng, x, cond)
+    y = G.apply(variables, x, cond, train=False)
+    assert y.shape == (2, size, size, 3)
+    assert y.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
+
+
+def test_generator_cond_changes_output(rng):
+    cfg = _cfg(netG="resnet_6blocks")
+    G = define_G(cfg)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    c0 = jnp.eye(cfg.data.n_age_bins)[:1]
+    c1 = jnp.roll(c0, 5, axis=-1)
+    variables = init_params(G, rng, x, c0)
+    y0 = G.apply(variables, x, c0, train=False)
+    y1 = G.apply(variables, x, c1, train=False)
+    assert float(jnp.max(jnp.abs(y0 - y1))) > 1e-6
+
+
+def test_generator_bottleneck_injection(rng):
+    cfg = _cfg(netG="resnet_6blocks", cond_inject="bottleneck")
+    G = define_G(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    cond = jnp.eye(cfg.data.n_age_bins)[:1]
+    variables = init_params(G, rng, x, cond)
+    assert G.apply(variables, x, cond, train=False).shape == (1, 64, 64, 3)
+
+
+@pytest.mark.parametrize("netD,expect_patch", [
+    ("basic", True), ("n_layers", True), ("pixel", False)])
+def test_discriminator_shapes(netD, expect_patch, rng):
+    cfg = _cfg(netD=netD)
+    D = define_D(cfg)
+    x = jnp.zeros((2, 64, 64, 3))
+    cond = jnp.eye(cfg.data.n_age_bins)[:2]
+    variables = init_params(D, rng, x, cond)
+    y = D.apply(variables, x, cond, train=False)
+    assert y.shape[0] == 2 and y.shape[-1] == 1
+    if expect_patch:
+        assert 1 < y.shape[1] < 64  # patch logits, downsampled
+    else:
+        assert y.shape[1] == 64     # per-pixel
+
+
+def test_patchgan_receptive_field_70px(rng):
+    """n_layers=3 'basic' D must see 70x70 patches: at 70px input the patch
+    grid collapses correctly and a corner-pixel perturbation must not touch
+    the far-corner logit."""
+    cfg = _cfg(netD="basic")
+    D = define_D(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = init_params(D, rng, x, None)
+    y0 = D.apply(variables, x, None, train=False)
+    x2 = x.at[0, 0, 0, :].set(10.0)
+    y1 = D.apply(variables, x2, None, train=False)
+    diff = jnp.abs(y1 - y0)[0, :, :, 0]
+    assert float(diff[0, 0]) > 0          # local logit moves
+    assert float(diff[-1, -1]) == 0.0     # far corner out of receptive field
+
+
+def test_comparator_output(rng):
+    cfg = _cfg()
+    C = define_C(cfg)
+    x = jax.random.normal(rng, (4, 64, 64, 3))
+    variables = init_params(C, rng, x)
+    mu, log_var = C.apply(variables, x, train=False)
+    assert mu.shape == (4,) and log_var.shape == (4,)
+    assert bool(jnp.all(jnp.isfinite(mu)))
+
+
+def test_bf16_policy_params_stay_f32(rng):
+    cfg = Config(model=ModelConfig(dtype="bfloat16", netG="resnet_6blocks"))
+    G = define_G(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    cond = jnp.eye(cfg.data.n_age_bins, dtype=jnp.bfloat16)[:1]
+    variables = init_params(G, rng, x, cond)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    y = G.apply(variables, x, cond, train=False)
+    assert y.dtype == jnp.float32  # tanh head promoted for stability
