@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark: train images/sec/chip at 128px (BASELINE.md metric).
+
+Runs the fused G/D train step (flagship resnet_9blocks config, bf16, pool on,
+device preprocessing from native-size u8) on the available accelerator and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "imgs/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the reference-equivalent PyTorch rate in
+benchmarks/baseline_torch.json (measured with benchmarks/torch_baseline.py —
+the same G/D/step semantics in torch; the reference publishes no numbers,
+SURVEY.md SS6). Flags: --smoke (tiny CPU config), --steps N, --batch N,
+--size PX.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure(cfg, steps: int, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_D, define_G
+    from pcgan_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    shard_train_state)
+    from pcgan_tpu.train import create_train_state
+
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    n_chips = mesh.devices.size
+    state = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 1000), mesh)
+    step = make_parallel_train_step(cfg, G, D, mesh=mesh,
+                                    steps_per_epoch=1000,
+                                    with_preprocess=True)
+    rng = np.random.default_rng(0)
+    native = 200
+    raw = {
+        "image": jnp.asarray(rng.integers(
+            0, 256, (cfg.data.batch_size, native, native, 3), dtype=np.uint8)),
+        "bin": jnp.asarray(rng.integers(0, cfg.data.n_age_bins,
+                                        cfg.data.batch_size, dtype=np.int32)),
+    }
+    for _ in range(warmup):
+        state, m = step(state, raw)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, raw)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return cfg.data.batch_size * steps / dt / n_chips
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true", help="tiny CPU config")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--size", type=int, default=128)
+    args = p.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    from pcgan_tpu.platform import respect_env_platform
+    respect_env_platform()
+
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    if args.smoke:
+        cfg = Config(
+            data=DataConfig(batch_size=args.batch or 4, crop_size=32,
+                            load_size=36, n_age_bins=4),
+            model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                              dtype="float32"),
+            train=TrainConfig(pool_size=8))
+        steps = args.steps or 5
+    else:
+        batch = args.batch or 32
+        cfg = Config(
+            data=DataConfig(batch_size=batch, crop_size=args.size,
+                            load_size=int(args.size * 143 / 128),
+                            n_age_bins=10),
+            model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16"),
+            train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
+        steps = args.steps or 30
+
+    value = measure(cfg, steps)
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_torch.json")
+    vs = None
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("imgs_per_sec_per_chip_128px")
+        if ref:
+            vs = round(value / ref, 2)
+    print(json.dumps({
+        "metric": f"train_imgs_per_sec_per_chip_{cfg.data.crop_size}px",
+        "value": round(value, 2),
+        "unit": "imgs/s/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,6 +183,8 @@ _FLAG_MAP = {
     "init_gain": ("model", "init_gain"),
     "no_dropout": ("model", "no_dropout"),
     "cond_inject": ("model", "cond_inject"),
+    "cmp_nf": ("model", "cmp_nf"),
+    "cmp_n_down": ("model", "cmp_n_down"),
     "tie_margin": ("model", "tie_margin"),
     "dtype": ("model", "dtype"),
     "name": ("run", "name"),

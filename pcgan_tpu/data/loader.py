@@ -1,0 +1,146 @@
+"""Host data loader: threaded decode -> pinned numpy batches -> device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=N)``
+(SURVEY.md SS4.1 process boundary) with a thread pool (JPEG decode releases
+the GIL in PIL) and an async device-prefetch queue so host decode overlaps
+device compute — the standard TPU input-pipeline shape.
+
+The loader emits RAW batches (native-size u8 + integer labels); all image
+math happens on device (ops/preprocess.py). ``create_dataset`` mirrors the
+reference's ``--dataset_mode`` dispatch (SURVEY.md SS2 C10).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+
+from pcgan_tpu.config import Config
+from pcgan_tpu.data.binning import bin_edges
+from pcgan_tpu.data.pairwise import PairwiseComparisonDataset
+from pcgan_tpu.data.synthetic import SyntheticAgingDataset
+from pcgan_tpu.data.utkface import UTKFaceDataset
+
+
+def create_dataset(cfg: Config, train: bool = True):
+    mode = cfg.data.dataset_mode
+    ms = cfg.data.max_dataset_size
+    if mode == "synthetic":
+        size = ms if ms and ms > 0 else 100
+        return SyntheticAgingDataset(size=size, seed=cfg.train.seed,
+                                     max_age=cfg.data.max_age)
+    if mode in ("aging", "single"):
+        return UTKFaceDataset(cfg.data.dataroot, max_size=ms,
+                              require_age=(mode == "aging"))
+    if mode == "pairwise":
+        base_mode = "synthetic" if not cfg.data.dataroot or not _exists(
+            cfg.data.dataroot) else "aging"
+        from pcgan_tpu.config import replace
+        import dataclasses
+        base_cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, dataset_mode=base_mode))
+        base = create_dataset(base_cfg, train)
+        return PairwiseComparisonDataset(base, tie_years=3, seed=cfg.train.seed)
+    raise NotImplementedError(f"dataset_mode [{mode}] not implemented")
+
+
+def _exists(path):
+    import os
+    return os.path.isdir(path)
+
+
+class Loader:
+    """Iterable over stacked numpy batches, threaded decode, optional shuffle.
+
+    Each epoch yields len(ds)//batch (drop_last) batches of
+    {'image': (B,H,W,C) u8, 'age': (B,) i64} (or pairwise keys).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_threads: int = 4, seed: int = 0, drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_threads))
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.bs:(b + 1) * self.bs]
+            if len(idx) < self.bs and self.drop_last:
+                break
+            items = list(self.pool.map(self.ds.get_raw, idx))
+            batch = {}
+            for k in items[0]:
+                batch[k] = np.stack([it[k] for it in items])
+            yield batch
+
+
+def with_bins(it: Iterator[Dict], n_bins: int, max_age: int = 116):
+    """Attach integer age-bin labels host-side (tiny; keeps the jitted step
+    free of per-dataset logic)."""
+    edges = bin_edges(n_bins, max_age)
+    for batch in it:
+        if "age" in batch:
+            b = np.searchsorted(edges, batch["age"].astype(np.float32),
+                                side="right") - 1
+            batch = dict(batch)
+            batch["bin"] = np.clip(b, 0, n_bins - 1).astype(np.int32)
+        yield batch
+
+
+def device_prefetch(it: Iterator[Dict], size: int = 2,
+                    sharding=None) -> Iterator[Dict]:
+    """Move batches to device ahead of consumption on a background thread.
+
+    With `sharding` (a jax.sharding.Sharding) the host batch is laid out
+    across the mesh's data axis directly at transfer time — per-host data
+    sharding in the SURVEY.md SS3.2 sense.
+    """
+    if size <= 0:
+        for b in it:
+            yield _put(b, sharding)
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for b in it:
+                q.put(_put(b, sharding))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def _put(batch: Dict[str, np.ndarray], sharding=None) -> Dict:
+    if sharding is None:
+        return jax.device_put(batch)
+    return jax.device_put(batch, sharding)

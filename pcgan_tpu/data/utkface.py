@@ -1,0 +1,78 @@
+"""UTKFace-style folder dataset (SURVEY.md SS2 C10).
+
+The reference parses the age label from the UTKFace filename convention
+``{age}_{gender}_{race}_{datetime}.jpg`` [P]. This dataset scans a folder,
+parses ages, and host-decodes JPEGs to fixed-size u8 arrays; everything
+downstream (resize/crop/flip/normalize) runs on device (ops/preprocess.py).
+
+Host work is deliberately minimal: decode + (only if source sizes vary) one
+PIL resize to the canonical native canvas. Aligned UTKFace is uniformly
+200x200, so the common path is decode-only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def parse_age(filename: str) -> Optional[int]:
+    base = os.path.basename(filename)
+    head = base.split("_")[0]
+    try:
+        age = int(head)
+    except ValueError:
+        return None
+    return age if 0 <= age <= 120 else None
+
+
+def list_images(root: str, max_size: int = -1) -> List[str]:
+    out = []
+    for dirpath, _, names in sorted(os.walk(root)):
+        for n in sorted(names):
+            if n.lower().endswith(IMG_EXTENSIONS):
+                out.append(os.path.join(dirpath, n))
+    if max_size and max_size > 0:
+        out = out[:max_size]
+    return out
+
+
+class UTKFaceDataset:
+    """Protocol: __len__, ages, get_raw(i) -> {'image': u8 (native,native,3), 'age': int}."""
+
+    def __init__(self, root: str, native: int = 200, max_size: int = -1,
+                 require_age: bool = True):
+        from PIL import Image  # host-side decode only
+        self._Image = Image
+        self.native = native
+        paths = list_images(root, -1)
+        items: List[Tuple[str, int]] = []
+        for p in paths:
+            age = parse_age(p)
+            if age is None:
+                if require_age:
+                    continue
+                age = 0
+            items.append((p, age))
+        if max_size and max_size > 0:
+            items = items[:max_size]
+        if not items:
+            raise FileNotFoundError(
+                f"no labeled images under {root} (expected UTKFace-style "
+                f"'age_*.jpg' names)")
+        self.paths = [p for p, _ in items]
+        self.ages = np.array([a for _, a in items], np.int64)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get_raw(self, i: int):
+        img = self._Image.open(self.paths[i]).convert("RGB")
+        if img.size != (self.native, self.native):
+            img = img.resize((self.native, self.native),
+                             self._Image.Resampling.BICUBIC)
+        return {"image": np.asarray(img, np.uint8), "age": int(self.ages[i])}

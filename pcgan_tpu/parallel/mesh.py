@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers (SURVEY.md SS3.1/SS3.2 — the `parallel/`
+module the TPU build owes as a first-class component).
+
+The reference has no distributed backend (single-process torch,
+optional DataParallel); here scaling is mesh-native: a 1-D `data` axis for DP
+(the workload's primary axis — BASELINE config 3: 128px DP on v5e-8), with an
+optional `spatial` axis reserved for sharding high-res activations (SURVEY.md
+SS3.1 spatial-partitioning note for 256px). Collectives are XLA-inserted
+(`psum`/`pmean` inside shard_map) and ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def resolve_mesh_shape(shape: Sequence[int], n_devices: int) -> Tuple[int, ...]:
+    """Replace a single -1 with whatever divides the device count."""
+    shape = tuple(shape)
+    if shape.count(-1) > 1:
+        raise ValueError(f"at most one -1 in mesh_shape, got {shape}")
+    known = int(np.prod([s for s in shape if s != -1])) or 1
+    if -1 in shape:
+        if n_devices % known:
+            raise ValueError(f"mesh {shape} incompatible with {n_devices} devices")
+        shape = tuple(n_devices // known if s == -1 else s for s in shape)
+    if int(np.prod(shape)) > n_devices:
+        raise ValueError(f"mesh {shape} needs more than {n_devices} devices")
+    return shape
+
+
+def make_mesh(mesh_shape: Sequence[int] = (-1,),
+              mesh_axes: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    shape = resolve_mesh_shape(mesh_shape, len(devices))
+    n = int(np.prod(shape))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(mesh_axes))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch-dim sharding over the data axis (per-host data sharding target
+    for device_prefetch)."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def batch_sharding(mesh: Mesh, batch) -> dict:
+    """Per-leaf shardings for a {name: array} batch (leading dim = batch)."""
+    return {k: NamedSharding(mesh, P("data", *([None] * (np.ndim(v) - 1))))
+            for k, v in batch.items()}
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,46 @@
+"""Aging-progression sampling (SURVEY.md SS4.2 test.py semantics).
+
+Given a trained G and input faces, renders the same identity at every age
+condition. TPU-first: ONE jitted batched forward computes the full grid —
+the (num_test, n_bins) product is flattened into the batch dimension and runs
+as a single large MXU-friendly call instead of the reference's per-bin loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcgan_tpu.config import Config
+from pcgan_tpu.data.binning import all_bins_onehot, bin_center_age
+
+
+def make_sampler(cfg: Config, G):
+    """Returns jitted f(g_variables, images (B,H,W,C)) -> (B, n_bins, H, W, C)."""
+    nb = cfg.data.n_age_bins
+
+    @jax.jit
+    def sample(g_variables, images):
+        b = images.shape[0]
+        conds = all_bins_onehot(nb, images.dtype)              # (nb, nb)
+        x = jnp.repeat(images, nb, axis=0)                     # (B*nb, ...)
+        c = jnp.tile(conds, (b, 1))
+        fakes = G.apply(g_variables, x, c, train=False)
+        return fakes.reshape(b, nb, *fakes.shape[1:])
+
+    return sample
+
+
+def aging_grid_visuals(cfg: Config, real: np.ndarray,
+                       fakes: np.ndarray) -> Dict[str, np.ndarray]:
+    """Row dict for the HTML page: input + one fake per bin, labeled by the
+    bin's representative age (reference results-page layout)."""
+    out = {"input": real}
+    for b in range(fakes.shape[0]):
+        age = int(bin_center_age(b, cfg.data.n_age_bins, cfg.data.max_age))
+        out[f"age_{age:03d}"] = fakes[b]
+    return out

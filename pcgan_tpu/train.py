@@ -1,0 +1,376 @@
+"""Training core: one jitted step holding BOTH alternating G/D updates.
+
+Restructures the reference's ``model.optimize_parameters()`` (SURVEY.md SS4.1:
+forward -> D backward+step -> G backward+step, two host dispatches + eager
+autograd) into a single compiled ``train_step(state, batch) -> (state,
+metrics)`` — one host->device dispatch per step, everything fused by XLA.
+
+Key TPU-first design points:
+
+- **One generator forward+backward per step** via ``jax.vjp``: the forward
+  produces BOTH the target-conditioned fake and the self-conditioned
+  reconstruction in one 2B-batched call (MXU-friendly); the same
+  linearization is reused to pull G's gradients back after D has been
+  updated — exact reference *sequential* semantics (G trains against the
+  freshly-updated D) without a second forward. This is the fusion direction
+  of FusedProp (arXiv:2004.03335), cited in SURVEY.md SS8.
+- **Alternating semantics preserved**: D step uses the detached fake
+  (pool-mixed, SURVEY.md SS2 C12), G step uses updated D params. A
+  ``simultaneous`` mode (G sees pre-update D) is available as a static flag.
+- **bf16 compute / f32 params+optimizer+losses** (SURVEY.md SS7 stability).
+- Data parallelism composes from outside: the step contains no collectives;
+  ``parallel/`` wraps it in shard_map with a gradient psum, or jit+sharding
+  lets XLA insert them (SURVEY.md SS3.2).
+
+Loss composition (SURVEY.md SS4.1):
+  L_D = 0.5 * [gan(D(real, cond_real), 1) + gan(D(pool(fake), cond_fake), 0)]
+        (+ lambda_gp * GP for wgangp)
+  L_G = gan(D(fake, cond_target), 1)
+        + lambda_L1  * |G(real, cond_real) - real|_1
+        + lambda_cond * cond_consistency(comparator(fake), target-bin range)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pcgan_tpu.config import Config
+from pcgan_tpu.data.binning import bin_to_onehot
+from pcgan_tpu.models.comparator import condition_consistency_loss
+from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty
+from pcgan_tpu.utils import image_pool
+
+
+# --------------------------------------------------------------------------- #
+# LR schedules (SURVEY.md SS2 C14: the reference's --lr_policy)
+# --------------------------------------------------------------------------- #
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
+    """Per-step schedule reproducing the reference's per-epoch policies.
+
+    linear: flat for `niter` epochs then linear decay to 0 over `niter_decay`
+    (reference lambda_rule: 1 - max(0, epoch+epoch_count-niter)/(niter_decay+1)).
+    """
+    t = cfg.train
+    spe = max(1, steps_per_epoch)
+
+    def sched(step):
+        epoch = step // spe + t.epoch_count  # 1-based like the reference
+        if t.lr_policy == "linear":
+            f = 1.0 - jnp.maximum(0.0, epoch - t.niter) / float(t.niter_decay + 1)
+        elif t.lr_policy == "step":
+            f = 0.1 ** (jnp.maximum(0, epoch - 1) // t.lr_decay_iters)
+        elif t.lr_policy == "cosine":
+            f = 0.5 * (1.0 + jnp.cos(jnp.pi * (epoch - 1) / float(t.niter)))
+        elif t.lr_policy in ("constant", "plateau"):
+            # plateau needs host-side metric feedback; documented fallback
+            f = 1.0
+        else:
+            raise NotImplementedError(f"lr_policy [{t.lr_policy}]")
+        return t.lr * jnp.clip(f, 0.0, 1.0)
+
+    return sched
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    return optax.adam(make_lr_schedule(cfg, steps_per_epoch),
+                      b1=cfg.train.beta1, b2=cfg.train.beta2)
+
+
+# --------------------------------------------------------------------------- #
+# train state
+# --------------------------------------------------------------------------- #
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray                   # scalar int32
+    g_params: Any
+    g_state: Any                        # non-param collections (batch_stats), maybe {}
+    d_params: Any
+    d_state: Any
+    g_opt: Any
+    d_opt: Any
+    c_vars: Any                         # frozen comparator variables or None
+    bin_lo: jnp.ndarray                 # (n_bins,) comparator score anchors
+    bin_hi: jnp.ndarray
+    pool: image_pool.PoolState
+    rng: jax.Array
+
+
+def _split_vars(variables) -> Tuple[Any, Any]:
+    rest = dict(variables)
+    params = rest.pop("params")
+    return params, rest
+
+
+def create_train_state(cfg: Config, G, D, rng: jax.Array,
+                       steps_per_epoch: int,
+                       c_vars: Any = None,
+                       bin_anchors: Optional[Tuple] = None) -> TrainState:
+    """Initialize all params/optimizers/pool for the GAN (SURVEY.md SS4.4)."""
+    n, s = cfg.data.batch_size, cfg.data.crop_size
+    nb = cfg.data.n_age_bins
+    x = jnp.zeros((n, s, s, cfg.data.input_nc), jnp.float32)
+    cond = jnp.zeros((n, nb), jnp.float32)
+    rg, rd, rs = jax.random.split(rng, 3)
+    g_params, g_state = _split_vars(
+        G.init({"params": rg, "dropout": rg}, x, cond, train=True))
+    d_params, d_state = _split_vars(
+        D.init({"params": rd}, x, cond, train=True))
+    tx = make_optimizer(cfg, steps_per_epoch)
+    if bin_anchors is None:
+        # without comparator anchors the cond loss sees degenerate [0,0] bins;
+        # it is disabled unless lambda_cond>0 AND c_vars provided.
+        bin_lo = jnp.zeros((nb,), jnp.float32)
+        bin_hi = jnp.zeros((nb,), jnp.float32)
+    else:
+        bin_lo, bin_hi = (jnp.asarray(bin_anchors[0], jnp.float32),
+                          jnp.asarray(bin_anchors[1], jnp.float32))
+    return TrainState(
+        step=jnp.array(0, jnp.int32),
+        g_params=g_params, g_state=g_state,
+        d_params=d_params, d_state=d_state,
+        g_opt=tx.init(g_params), d_opt=tx.init(d_params),
+        c_vars=c_vars, bin_lo=bin_lo, bin_hi=bin_hi,
+        pool=image_pool.init_pool(
+            cfg.train.pool_size, (s, s, cfg.data.output_nc), nb),
+        rng=rs)
+
+
+# --------------------------------------------------------------------------- #
+# the step
+# --------------------------------------------------------------------------- #
+
+
+def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
+                    mode: str = "sequential",
+                    axis_name: Optional[str] = None) -> Callable:
+    """Build the fused G/D step. `axis_name` != None adds an in-step gradient
+    psum for use under shard_map/pmap (SURVEY.md SS3.2)."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+    t = cfg.train
+    nb = cfg.data.n_age_bins
+    use_cond_loss = (t.lambda_cond > 0.0) and (C is not None)
+    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    def psum_mean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        real = batch["image"].astype(compute_dtype)        # (B,H,W,C) in [-1,1]
+        bsz = real.shape[0]
+        rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name:
+            # per-device streams: target bins / dropout / pool traffic must
+            # differ across the data axis (the pool buffer is axis-sharded)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        r_target, r_drop, r_pool, r_gp = jax.random.split(rng, 4)
+
+        real_bin = batch["bin"].astype(jnp.int32)
+        if "target_bin" in batch:
+            target_bin = batch["target_bin"].astype(jnp.int32)
+        else:
+            target_bin = jax.random.randint(r_target, (bsz,), 0, nb)
+        cond_real = bin_to_onehot(real_bin, nb, compute_dtype)
+        cond_target = bin_to_onehot(target_bin, nb, compute_dtype)
+
+        # ---- one 2B generator forward, linearized for later grad pullback --
+        x2 = jnp.concatenate([real, real], axis=0)
+        c2 = jnp.concatenate([cond_target, cond_real], axis=0)
+
+        def g_forward(g_params):
+            variables = {"params": g_params, **state.g_state}
+            if state.g_state:
+                out, new_state = G.apply(
+                    variables, x2, c2, train=True,
+                    rngs={"dropout": r_drop}, mutable=list(state.g_state))
+            else:
+                out = G.apply(variables, x2, c2, train=True,
+                              rngs={"dropout": r_drop})
+                new_state = state.g_state
+            return out, new_state
+
+        out, g_vjp, new_g_state = jax.vjp(g_forward, state.g_params,
+                                          has_aux=True)
+        fake = out[:bsz]          # G(real, target cond)
+        idt = out[bsz:]           # G(real, own cond) — reconstruction target
+
+        # ---- D update (detached fake, pool-mixed) --------------------------
+        fake_det = jax.lax.stop_gradient(fake)
+        new_pool, fake_d, cond_fake_d = image_pool.query(
+            state.pool, fake_det, cond_target, r_pool)
+
+        def d_apply(d_params, x, cond):
+            variables = {"params": d_params, **state.d_state}
+            if state.d_state:
+                logits, new_state = D.apply(variables, x, cond, train=True,
+                                            mutable=list(state.d_state))
+                return logits, new_state
+            return D.apply(variables, x, cond, train=True), state.d_state
+
+        def d_loss_fn(d_params):
+            pred_real, ds1 = d_apply(d_params, real, cond_real)
+            pred_fake, ds2 = d_apply(d_params, fake_d.astype(compute_dtype),
+                                     cond_fake_d.astype(compute_dtype))
+            l_real = gan_loss(pred_real, True, t.gan_mode)
+            l_fake = gan_loss(pred_fake, False, t.gan_mode)
+            loss = 0.5 * (l_real + l_fake)
+            if t.gan_mode == "wgangp":
+                gp = gradient_penalty(
+                    lambda v, x, c: d_apply(v["params"], x, c)[0],
+                    {"params": d_params}, real, fake_d, cond_fake_d, r_gp)
+                loss = l_real + l_fake + t.lambda_gp * gp
+            return loss, (l_real, l_fake, ds2)
+
+        (d_loss, (l_d_real, l_d_fake, new_d_state)), d_grads = (
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+        d_grads = psum_mean(d_grads)
+        d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_upd)
+
+        # ---- G update (vs updated D in 'sequential' reference mode) --------
+        d_for_g = new_d_params if mode == "sequential" else state.d_params
+
+        def g_out_loss(out):
+            fake, idt = out[:bsz], out[bsz:]
+            pred, _ = d_apply(d_for_g, fake, cond_target)
+            l_gan = gan_loss(pred, True, t.gan_mode, for_discriminator=False)
+            l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)
+                                    - real.astype(jnp.float32)))
+            if use_cond_loss:
+                mu, log_var = C.apply(state.c_vars, fake, train=False)
+                l_cond = condition_consistency_loss(
+                    mu, log_var, state.bin_lo[target_bin],
+                    state.bin_hi[target_bin])
+            else:
+                l_cond = jnp.float32(0.0)
+            loss = l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
+            return loss, (l_gan, l_l1, l_cond)
+
+        (g_loss, (l_g_gan, l_g_l1, l_g_cond)), dout = (
+            jax.value_and_grad(g_out_loss, has_aux=True)(out))
+        (g_grads,) = g_vjp(dout)
+        g_grads = psum_mean(g_grads)
+        g_upd, new_g_opt = tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_upd)
+
+        metrics = {
+            "loss_G": g_loss, "loss_G_GAN": l_g_gan,
+            "loss_G_L1": l_g_l1, "loss_G_cond": l_g_cond,
+            "loss_D": d_loss, "loss_D_real": l_d_real, "loss_D_fake": l_d_fake,
+        }
+        metrics = {k: psum_mean(v.astype(jnp.float32))
+                   for k, v in metrics.items()}
+        if axis_name:
+            # keep running stats (batchnorm) replicated across the data axis
+            new_g_state = jax.tree.map(psum_mean, new_g_state)
+            new_d_state = jax.tree.map(psum_mean, new_d_state)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_state=new_g_state, g_opt=new_g_opt,
+            d_params=new_d_params, d_state=new_d_state, d_opt=new_d_opt,
+            pool=new_pool, rng=state.rng)
+        return new_state, metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------------- #
+# comparator pretraining (SURVEY.md SS4.3)
+# --------------------------------------------------------------------------- #
+
+
+@struct.dataclass
+class ComparatorState:
+    step: jnp.ndarray
+    params: Any
+    state: Any
+    opt: Any
+    rng: jax.Array
+
+
+def create_comparator_state(cfg: Config, C, rng: jax.Array,
+                            steps_per_epoch: int = 1) -> ComparatorState:
+    s = cfg.data.crop_size
+    x = jnp.zeros((cfg.data.batch_size, s, s, cfg.data.input_nc), jnp.float32)
+    params, cstate = _split_vars(C.init({"params": rng}, x, train=True))
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return ComparatorState(step=jnp.array(0, jnp.int32), params=params,
+                           state=cstate, opt=tx.init(params), rng=rng)
+
+
+def make_comparator_step(cfg: Config, C, steps_per_epoch: int = 1,
+                         axis_name: Optional[str] = None) -> Callable:
+    """One pretraining step on pairwise batches
+    {'image_a','image_b','label'(0: a older, 1: b older, 2: tie)}.
+
+    Siamese trick: both pair members run through the trunk in ONE 2B-batched
+    forward (single conv stack on the MXU)."""
+    from pcgan_tpu.models.comparator import comparison_accuracy, comparison_loss
+    tx = make_optimizer(cfg, steps_per_epoch)
+    margin = cfg.model.tie_margin
+    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
+
+    def step(state: ComparatorState, batch):
+        a = batch["image_a"].astype(compute_dtype)
+        b = batch["image_b"].astype(compute_dtype)
+        label = batch["label"].astype(jnp.int32)
+        bsz = a.shape[0]
+        x2 = jnp.concatenate([a, b], axis=0)
+
+        def loss_fn(params):
+            variables = {"params": params, **state.state}
+            if state.state:
+                (mu, log_var), new_cs = C.apply(
+                    variables, x2, train=True, mutable=list(state.state))
+            else:
+                mu, log_var = C.apply(variables, x2, train=True)
+                new_cs = state.state
+            loss = comparison_loss(mu[:bsz], log_var[:bsz], mu[bsz:],
+                                   log_var[bsz:], label, margin)
+            acc = comparison_accuracy(mu[:bsz], log_var[:bsz], mu[bsz:],
+                                      log_var[bsz:], label, margin)
+            return loss, (acc, new_cs)
+
+        (loss, (acc, new_cs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = pmean(grads)
+        upd, new_opt = tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        metrics = {"loss_cmp": pmean(loss), "acc_cmp": pmean(acc)}
+        return ComparatorState(state.step + 1, new_params, new_cs, new_opt,
+                               state.rng), metrics
+
+    return step
+
+
+def compute_bin_anchors(C, c_vars, images: jnp.ndarray, bins: jnp.ndarray,
+                        n_bins: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin comparator score intervals from real data (SURVEY.md SS4.3:
+    the frozen comparator 'sorts' data; bin anchors drive the GAN cond loss).
+
+    Returns (lo, hi) of shape (n_bins,): mean-score midpoints between
+    adjacent bins, so each bin's interval tiles the score axis.
+    """
+    mu, _ = C.apply(c_vars, images, train=False)
+    one = bin_to_onehot(bins, n_bins)                       # (N, nb)
+    counts = jnp.maximum(one.sum(0), 1e-6)
+    means = (one * mu[:, None]).sum(0) / counts             # (nb,)
+    # enforce monotonicity for degenerate comparators, then tile intervals
+    means = jnp.sort(means)
+    mid = 0.5 * (means[1:] + means[:-1])
+    lo = jnp.concatenate([jnp.array([-1e30]), mid])
+    hi = jnp.concatenate([mid, jnp.array([1e30])])
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)

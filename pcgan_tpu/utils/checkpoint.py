@@ -1,0 +1,82 @@
+"""Orbax checkpointing (SURVEY.md SS6 checkpoint/resume row).
+
+The reference saves per-network ``{epoch}_net_{G,D}.pth`` + ``latest_*`` and
+resumes via ``--continue_train --epoch k``. Here one Orbax checkpoint holds
+the FULL train state (both param trees, both optimizer states, pool, step,
+rng) so resume is exact; the sampler can load G-only from the same tree.
+Async save keeps the device busy during serialization (preemption-safe
+cadence is driven by --save_latest_freq / --save_epoch_freq in the CLI).
+
+Layout: {checkpoints_dir}/{name}/{tag}/ with tags 'latest', 'epoch_<k>',
+mirroring the reference's epoch selection surface (--epoch latest|<k>).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _dir(checkpoints_dir: str, name: str, tag: str) -> str:
+    return os.path.abspath(os.path.join(checkpoints_dir, name, str(tag)))
+
+
+_CHECKPOINTER: Optional[ocp.Checkpointer] = None
+
+
+def _ckpt() -> ocp.Checkpointer:
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
+
+def save(state: Any, checkpoints_dir: str, name: str, tag: str = "latest",
+         wait: bool = False) -> str:
+    path = _dir(checkpoints_dir, name, tag)
+    c = _ckpt()
+    c.save(path, state, force=True)
+    if wait:
+        c.wait_until_finished()
+    return path
+
+
+def restore(target: Any, checkpoints_dir: str, name: str,
+            tag: str = "latest") -> Any:
+    """Restore into the structure of `target` (an abstract or concrete state)."""
+    path = _dir(checkpoints_dir, name, tag)
+    c = _ckpt()
+    c.wait_until_finished()
+    return c.restore(path, target=jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                               target))
+
+
+def save_generator(state: Any, checkpoints_dir: str, name: str,
+                   tag: str = "latest", wait: bool = False) -> str:
+    """G-only checkpoint (the reference's ``{epoch}_net_G.pth`` surface):
+    the sampler restores this without knowing training-time state shapes
+    (pool size, optimizer trees)."""
+    payload = {"g_params": state.g_params, "g_state": state.g_state}
+    return save(payload, checkpoints_dir, name, f"{tag}_G", wait=wait)
+
+
+def restore_generator(g_variables_template: Any, checkpoints_dir: str,
+                      name: str, tag: str = "latest") -> Any:
+    """Returns flax variables {'params': ..., **collections} for G.apply."""
+    target = {"g_params": g_variables_template["params"],
+              "g_state": {k: v for k, v in g_variables_template.items()
+                          if k != "params"}}
+    out = restore(target, checkpoints_dir, name, f"{tag}_G")
+    return {"params": out["g_params"], **out["g_state"]}
+
+
+def exists(checkpoints_dir: str, name: str, tag: str = "latest") -> bool:
+    return os.path.isdir(_dir(checkpoints_dir, name, tag))
+
+
+def wait_all():
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()

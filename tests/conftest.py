@@ -4,7 +4,9 @@ mesh/collective tests run without TPU hardware. Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the ambient env points JAX at the TPU tunnel (axon); tests
+# must run on CPU with a virtual 8-device mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,144 @@
+"""Single-device train-step tests: losses finite, params move, determinism,
+G actually learns on a trivial task (SURVEY.md SS5.1/5.2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from pcgan_tpu.models.registry import define_C, define_D, define_G, init_params
+from pcgan_tpu.train import (
+    create_train_state, make_comparator_step, make_lr_schedule,
+    make_train_step, create_comparator_state, compute_bin_anchors)
+
+
+def tiny_cfg(**train_kw):
+    kw = dict(pool_size=8, lambda_L1=10.0, lambda_cond=0.0)
+    kw.update(train_kw)
+    return Config(
+        data=DataConfig(batch_size=4, crop_size=32, n_age_bins=4,
+                        load_size=32),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8, cmp_nf=8,
+                          cmp_n_down=2, dtype="float32"),
+        train=TrainConfig(**kw))
+
+
+def make_batch(rng, cfg):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(rng))
+    return {
+        "image": jax.random.uniform(k1, (cfg.data.batch_size,
+                                         cfg.data.crop_size,
+                                         cfg.data.crop_size, 3)) * 2 - 1,
+        "bin": jax.random.randint(k2, (cfg.data.batch_size,), 0,
+                                  cfg.data.n_age_bins),
+    }
+
+
+@pytest.mark.parametrize("gan_mode", ["lsgan", "vanilla", "hinge"])
+def test_step_runs_and_params_move(gan_mode):
+    cfg = tiny_cfg(gan_mode=gan_mode)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    batch = make_batch(0, cfg)
+    new_state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert int(new_state.step) == 1
+    # both nets' params changed
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    g1 = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    assert float(jnp.max(jnp.abs(g0 - g1))) > 0
+    d0 = jax.tree_util.tree_leaves(state.d_params)[0]
+    d1 = jax.tree_util.tree_leaves(new_state.d_params)[0]
+    assert float(jnp.max(jnp.abs(d0 - d1))) > 0
+
+
+def test_step_deterministic():
+    cfg = tiny_cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    step = jax.jit(make_train_step(cfg, G, D))
+    batch = make_batch(0, cfg)
+    s1 = create_train_state(cfg, G, D, jax.random.PRNGKey(7), 10)
+    s2 = create_train_state(cfg, G, D, jax.random.PRNGKey(7), 10)
+    _, m1 = step(s1, batch)
+    _, m2 = step(s2, batch)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
+def test_l1_decreases_over_steps():
+    """With lambda_L1 dominant, reconstruction loss must fall."""
+    cfg = tiny_cfg(lambda_L1=100.0, lr=2e-3)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    batch = make_batch(0, cfg)
+    first = last = None
+    for i in range(30):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss_G_L1"])
+        last = float(m["loss_G_L1"])
+    assert last < first * 0.8, (first, last)
+
+
+def test_cond_loss_active_with_comparator():
+    cfg = tiny_cfg()
+    cfg = Config(data=cfg.data, model=cfg.model, parallel=cfg.parallel,
+                 run=cfg.run,
+                 train=TrainConfig(pool_size=8, lambda_L1=1.0,
+                                   lambda_cond=5.0))
+    G, D, C = define_G(cfg), define_D(cfg), define_C(cfg)
+    c_vars = init_params(C, jax.random.PRNGKey(1),
+                         jnp.zeros((2, 32, 32, 3)))
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (16, 32, 32, 3)) * 2 - 1
+    bins = jax.random.randint(jax.random.PRNGKey(3), (16,), 0, 4)
+    anchors = compute_bin_anchors(C, c_vars, imgs, bins, 4)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10,
+                               c_vars=c_vars, bin_anchors=anchors)
+    step = jax.jit(make_train_step(cfg, G, D, C))
+    _, m = step(state, make_batch(0, cfg))
+    assert np.isfinite(float(m["loss_G_cond"]))
+
+
+def test_comparator_learns_ordering():
+    """Pretraining drives pairwise accuracy well above chance on a synthetic
+    brightness-orders-age task (SURVEY.md SS4.3)."""
+    cfg = tiny_cfg(lr=1e-3)
+    C = define_C(cfg)
+    cstate = create_comparator_state(cfg, C, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_comparator_step(cfg, C))
+    rng = np.random.default_rng(0)
+
+    def batch(i):
+        # image brightness encodes "age"; label by comparing brightness
+        lvl = rng.uniform(-1, 1, size=(2, cfg.data.batch_size, 1, 1, 1))
+        base = rng.normal(0, 0.05, size=(2, cfg.data.batch_size, 32, 32, 3))
+        imgs = np.clip(base + lvl, -1, 1).astype(np.float32)
+        d = lvl[0, :, 0, 0, 0] - lvl[1, :, 0, 0, 0]
+        label = np.where(np.abs(d) < 0.2, 2, np.where(d > 0, 0, 1))
+        return {"image_a": jnp.asarray(imgs[0]), "image_b": jnp.asarray(imgs[1]),
+                "label": jnp.asarray(label.astype(np.int32))}
+
+    accs = []
+    for i in range(150):
+        cstate, m = step(cstate, batch(i))
+        accs.append(float(m["acc_cmp"]))
+    assert np.mean(accs[-20:]) > 0.65, np.mean(accs[-20:])
+
+
+def test_lr_schedules():
+    cfg = tiny_cfg(niter=2, niter_decay=2, lr=1.0, lr_policy="linear")
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == 1.0
+    assert float(sched(19)) == 1.0              # end of epoch 2 (flat phase)
+    assert float(sched(39)) < float(sched(21))  # decaying
+    cfg2 = tiny_cfg(lr_policy="cosine", niter=4, lr=1.0)
+    s2 = make_lr_schedule(cfg2, 10)
+    assert float(s2(0)) == 1.0 and float(s2(35)) < 0.2
+    cfg3 = tiny_cfg(lr_policy="step", lr_decay_iters=1, lr=1.0)
+    s3 = make_lr_schedule(cfg3, 10)
+    assert np.isclose(float(s3(10)), 0.1)

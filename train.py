@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Training entry point (SURVEY.md SS2 C1, SS4.1 call stack).
+
+Reference-compatible surface:
+    python train.py --dataroot ./datasets/utkface --name utk128 \
+        --model pcgan --load_size 143 --crop_size 128 --batch_size 32 ...
+
+TPU-native internals: one jitted fused G/D step, shard_map DP over a
+jax.sharding.Mesh, device-side preprocessing, async orbax checkpoints,
+JSONL metrics. `--model comparator` runs comparator pretraining
+(SURVEY.md SS4.3) and stores the frozen comparator + bin anchors that
+`--model pcgan --comparator_path ...` consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from pcgan_tpu.platform import respect_env_platform
+    respect_env_platform()
+    from pcgan_tpu.config import parse_config
+    cfg = parse_config(argv, is_train=True)
+
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.data import loader as data_loader
+    from pcgan_tpu.parallel import make_mesh
+    from pcgan_tpu.utils.metrics import MetricsLogger, StepTimer
+    from pcgan_tpu.utils import checkpoint as ckpt
+
+    run_dir = os.path.join(cfg.run.checkpoints_dir, cfg.run.name)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "opt.json"))   # reference dumps opt.txt
+
+    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    n_dev = mesh.devices.size
+    print(f"devices: {n_dev} ({jax.devices()[0].platform}), mesh "
+          f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
+    if cfg.data.batch_size % n_dev:
+        raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
+                         f"mesh data axis {n_dev}")
+
+    ds = data_loader.create_dataset(cfg, train=True)
+    ld = data_loader.Loader(ds, cfg.data.batch_size,
+                            shuffle=not cfg.data.serial_batches,
+                            num_threads=cfg.data.num_threads,
+                            seed=cfg.train.seed)
+    steps_per_epoch = max(1, len(ld))
+    print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
+          f"{steps_per_epoch} steps/epoch", flush=True)
+
+    logger = MetricsLogger(run_dir)
+    if cfg.model.model == "comparator":
+        _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir)
+    else:
+        _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir)
+    ckpt.wait_all()
+    logger.close()
+
+
+def _epoch_iter(cfg, ld, mesh):
+    """One epoch of device-prefetched, mesh-sharded raw batches."""
+    import jax
+    from pcgan_tpu.data.loader import device_prefetch, with_bins
+    from pcgan_tpu.parallel.mesh import batch_sharding
+
+    def shard_puts(it):
+        for b in it:
+            shard = batch_sharding(mesh, b)
+            yield {k: jax.device_put(v, shard[k]) for k, v in b.items()}
+
+    return shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
+                                cfg.data.max_age))
+
+
+def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_C, define_D, define_G
+    from pcgan_tpu.parallel import make_parallel_train_step, shard_train_state
+    from pcgan_tpu.train import create_train_state, make_lr_schedule
+    from pcgan_tpu.utils import checkpoint as ckpt
+    from pcgan_tpu.utils.metrics import StepTimer
+
+    G, D = define_G(cfg), define_D(cfg)
+    C = c_vars = bin_anchors = None
+    if cfg.train.comparator_path and cfg.train.lambda_cond > 0:
+        C = define_C(cfg)
+        c_vars, bin_anchors = _load_comparator(cfg)
+        print(f"loaded frozen comparator from {cfg.train.comparator_path}",
+              flush=True)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    # pool must divide the data axis
+    n_dev = mesh.shape["data"]
+    pool = cfg.train.pool_size
+    if pool > 0 and pool % n_dev:
+        pool = ((pool + n_dev - 1) // n_dev) * n_dev
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, pool_size=pool))
+    state = create_train_state(cfg, G, D, rng, steps_per_epoch,
+                               c_vars=c_vars, bin_anchors=bin_anchors)
+    if cfg.train.continue_train and ckpt.exists(
+            cfg.run.checkpoints_dir, cfg.run.name, cfg.run.epoch):
+        state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
+                             cfg.run.epoch)
+        print(f"resumed from step {int(state.step)}", flush=True)
+    state = shard_train_state(state, mesh)
+
+    step_fn = make_parallel_train_step(cfg, G, D, C, steps_per_epoch,
+                                       mesh=mesh)
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    timer = StepTimer()
+    total_epochs = cfg.train.niter + cfg.train.niter_decay
+    t = cfg.train
+    gstep = int(state.step)
+    for epoch in range(t.epoch_count, total_epochs + 1):
+        epoch_t0 = time.time()
+        timer.start()
+        for raw in _epoch_iter(cfg, ld, mesh):
+            state, metrics = step_fn(state, raw)
+            gstep += 1
+            timer.tick(cfg.data.batch_size)
+            if gstep % t.print_freq == 0:
+                jax.block_until_ready(metrics)
+                rate = timer.rate()
+                logger.log(gstep, {k: float(v) for k, v in metrics.items()},
+                           epoch=epoch, imgs_per_sec=rate,
+                           lr=float(sched(gstep)))
+                timer.start()
+            if gstep % t.save_latest_freq == 0:
+                ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
+                          "latest")
+                ckpt.save_generator(state, cfg.run.checkpoints_dir,
+                                    cfg.run.name, "latest")
+        if epoch % t.save_epoch_freq == 0:
+            ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
+                      f"epoch_{epoch}")
+            ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
+                                f"epoch_{epoch}")
+            ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
+            ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
+                                "latest")
+        print(f"End of epoch {epoch}/{total_epochs} \t "
+              f"({time.time() - epoch_t0:.1f}s)", flush=True)
+    ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
+    ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
+                        "latest", wait=True)
+
+
+def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pcgan_tpu.data import loader as data_loader
+    from pcgan_tpu.data.loader import with_bins
+    from pcgan_tpu.models import define_C
+    from pcgan_tpu.parallel import make_parallel_comparator_step
+    from pcgan_tpu.parallel.mesh import batch_sharding
+    from pcgan_tpu.train import (compute_bin_anchors, create_comparator_state)
+    from pcgan_tpu.utils import checkpoint as ckpt
+    from pcgan_tpu.ops.preprocess import make_preprocess
+
+    # pairwise dataset regardless of requested mode
+    pair_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset_mode="pairwise"))
+    ds = data_loader.create_dataset(pair_cfg, train=True)
+    ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=True,
+                            num_threads=cfg.data.num_threads,
+                            seed=cfg.train.seed)
+    steps_per_epoch = max(1, len(ld))
+
+    C = define_C(cfg)
+    state = create_comparator_state(cfg, C, jax.random.PRNGKey(cfg.train.seed),
+                                    steps_per_epoch)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step_fn = make_parallel_comparator_step(cfg, C, steps_per_epoch, mesh=mesh)
+
+    total_epochs = cfg.train.niter + cfg.train.niter_decay
+    gstep = 0
+    for epoch in range(cfg.train.epoch_count, total_epochs + 1):
+        for raw in _shard_iter(ld, mesh):
+            state, metrics = step_fn(state, raw)
+            gstep += 1
+            if gstep % cfg.train.print_freq == 0:
+                logger.log(gstep, {k: float(v) for k, v in metrics.items()},
+                           epoch=epoch)
+        print(f"End of comparator epoch {epoch}/{total_epochs}", flush=True)
+
+    # compute bin anchors on (a subset of) the base data, save everything
+    base = ds.base
+    n_anchor = min(len(base), 512)
+    pre = make_preprocess(cfg, train=False)
+    imgs, bins = [], []
+    edges_it = with_bins(
+        iter(data_loader.Loader(base, min(cfg.data.batch_size, n_anchor),
+                                shuffle=False,
+                                num_threads=cfg.data.num_threads)),
+        cfg.data.n_age_bins, cfg.data.max_age)
+    seen = 0
+    for b in edges_it:
+        out = pre(jax.random.PRNGKey(0), {"image": jnp.asarray(b["image"])})
+        imgs.append(out["image"])
+        bins.append(jnp.asarray(b["bin"]))
+        seen += b["image"].shape[0]
+        if seen >= n_anchor:
+            break
+    imgs = jnp.concatenate(imgs)[:n_anchor]
+    bins = jnp.concatenate(bins)[:n_anchor]
+    c_vars = {"params": state.params, **state.state}
+    lo, hi = compute_bin_anchors(C, c_vars, imgs, bins, cfg.data.n_age_bins)
+    payload = {"c_vars": c_vars, "bin_lo": lo, "bin_hi": hi}
+    path = ckpt.save(payload, cfg.run.checkpoints_dir, cfg.run.name,
+                     "comparator", wait=True)
+    print(f"saved comparator + bin anchors to {path}", flush=True)
+
+
+def _shard_iter(ld, mesh):
+    import jax
+    from pcgan_tpu.parallel.mesh import batch_sharding
+    for b in iter(ld):
+        shard = batch_sharding(mesh, b)
+        yield {k: jax.device_put(v, shard[k]) for k, v in b.items()}
+
+
+def _load_comparator(cfg):
+    """comparator_path: checkpoints-style dir saved by `--model comparator`."""
+    import jax
+    from pcgan_tpu.models import define_C
+    from pcgan_tpu.train import create_comparator_state
+    from pcgan_tpu.utils import checkpoint as ckpt
+    import orbax.checkpoint as ocp
+
+    C = define_C(cfg)
+    ex = create_comparator_state(cfg, C, jax.random.PRNGKey(0), 1)
+    target = {"c_vars": {"params": ex.params, **ex.state},
+              "bin_lo": jax.numpy.zeros(cfg.data.n_age_bins),
+              "bin_hi": jax.numpy.zeros(cfg.data.n_age_bins)}
+    c = ocp.StandardCheckpointer()
+    restored = c.restore(
+        os.path.abspath(cfg.train.comparator_path),
+        target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
+    return restored["c_vars"], (restored["bin_lo"], restored["bin_hi"])
+
+
+if __name__ == "__main__":
+    main()
