@@ -48,13 +48,19 @@ def measure(cfg, steps: int, warmup: int = 3) -> float:
         "bin": jnp.asarray(rng.integers(0, cfg.data.n_age_bins,
                                         cfg.data.batch_size, dtype=np.int32)),
     }
+    def sync(metrics):
+        # device_get, NOT block_until_ready: under the axon PJRT tunnel
+        # block_until_ready returns before execution completes (measured:
+        # fake 45 PF/s); fetching a scalar forces a true sync.
+        return float(jax.device_get(metrics["loss_G"]))
+
     for _ in range(warmup):
         state, m = step(state, raw)
-    jax.block_until_ready(m)
+    sync(m)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, raw)
-    jax.block_until_ready(m)
+    sync(m)
     dt = time.perf_counter() - t0
     return cfg.data.batch_size * steps / dt / n_chips
 

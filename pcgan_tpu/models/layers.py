@@ -106,11 +106,13 @@ class TorchConv(nn.Module):
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
             jnp.float32)
         x = pad2d(x, self.padding, self.pad_mode)
+        # no preferred_element_type: an f32 output from bf16 inputs breaks the
+        # conv VJP (mixed-dtype cotangent). MXU accumulation is f32-internal
+        # for bf16 inputs regardless; f32 modules force HIGHEST precision.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding="VALID", dimension_numbers=_DIMS,
-            preferred_element_type=jnp.float32,
             precision=_conv_precision(self.dtype),
         )
         if self.use_bias:
@@ -155,7 +157,6 @@ class TorchConvTranspose(nn.Module):
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=(s, s),
             dimension_numbers=_DIMS,
-            preferred_element_type=jnp.float32,
             precision=_conv_precision(self.dtype),
         )
         if self.use_bias:

@@ -1,0 +1,73 @@
+"""GSPMD auto-partitioned step (data x spatial mesh): compiles, runs, and
+matches the single-device step numerically (SURVEY.md SS3.1/SS5.3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from pcgan_tpu.models.registry import define_D, define_G
+from pcgan_tpu.parallel.auto import (make_auto_train_step, place_auto_state,
+                                     shard_batch_auto)
+from pcgan_tpu.parallel.mesh import make_mesh
+from pcgan_tpu.train import create_train_state, make_train_step
+
+
+def _cfg():
+    return Config(
+        data=DataConfig(batch_size=4, crop_size=32, load_size=32,
+                        n_age_bins=4, no_flip=True),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                          dtype="float32"),
+        train=TrainConfig(pool_size=0, lambda_L1=10.0, lambda_cond=0.0))
+
+
+@pytest.mark.parametrize("shape,axes", [
+    ((2, 4), ("data", "spatial")),
+    ((4, 2), ("data", "spatial")),
+])
+def test_auto_step_matches_single_device(shape, axes):
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.uniform(rng, (4, 32, 32, 3)) * 2 - 1,
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+        "target_bin": (jnp.arange(4, dtype=jnp.int32) + 1) % 4,
+    }
+
+    s_single = create_train_state(cfg, G, D, rng, 10)
+    single = jax.jit(make_train_step(cfg, G, D))
+    s1, m1 = single(s_single, batch)
+
+    mesh = make_mesh(shape, axes)
+    state = place_auto_state(create_train_state(cfg, G, D, rng, 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=False)
+    s2, m2 = step(state, batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3,
+                                   err_msg=k)
+    a = jax.tree_util.tree_leaves(s1.g_params)[0]
+    b = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_auto_step_with_preprocess_runs():
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((2, 4), ("data", "spatial"))
+    state = place_auto_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=True)
+    raw = shard_batch_auto({
+        "image": jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, (4, 40, 40, 3), dtype=np.uint8)),
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+    }, mesh)
+    s2, m = step(state, raw)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k

@@ -20,6 +20,9 @@ COMMON = [
     "--crop_size", "32", "--load_size", "36", "--n_age_bins", "4",
     "--netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
     "--batch_size", "4", "--dtype", "float32", "--name", "smoke",
+    # single-device mesh: the suite exposes 8 virtual CPU devices and batch 4
+    # cannot shard over them; DP coverage lives in test_parallel.py
+    "--mesh_shape", "1",
 ]
 
 

@@ -67,10 +67,11 @@ def test_discriminator_shapes(netD, expect_patch, rng):
 
 
 def test_patchgan_receptive_field_70px(rng):
-    """n_layers=3 'basic' D must see 70x70 patches: at 70px input the patch
-    grid collapses correctly and a corner-pixel perturbation must not touch
-    the far-corner logit."""
-    cfg = _cfg(netD="basic")
+    """n_layers=3 'basic' D must see 70x70 patches: a corner-pixel
+    perturbation must not touch the far-corner logit. norm='none' — instance
+    norm couples outputs through global spatial statistics (true of the
+    reference too), so locality is only observable without it."""
+    cfg = _cfg(netD="basic", norm="none")
     D = define_D(cfg)
     x = jnp.zeros((1, 128, 128, 3))
     variables = init_params(D, rng, x, None)

@@ -120,6 +120,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     timer = StepTimer()
     total_epochs = cfg.train.niter + cfg.train.niter_decay
     t = cfg.train
+    display = _make_display(cfg, G, run_dir)
     gstep = int(state.step)
     for epoch in range(t.epoch_count, total_epochs + 1):
         epoch_t0 = time.time()
@@ -128,6 +129,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             state, metrics = step_fn(state, raw)
             gstep += 1
             timer.tick(cfg.data.batch_size)
+            if gstep % t.display_freq == 0:
+                display(state, raw, epoch)
             if gstep % t.print_freq == 0:
                 jax.block_until_ready(metrics)
                 rate = timer.rate()
@@ -153,6 +156,50 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
     ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
                         "latest", wait=True)
+
+
+def _make_display(cfg, G, run_dir):
+    """Train-time visual previews (reference Visualizer.display_current_results
+    surface, SURVEY.md SS2 C13): every --display_freq steps, render the
+    current G on a fixed preview input at every age bin and save a PNG strip
+    under {run_dir}/web/images plus an HTML index."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgan_tpu.ops.preprocess import make_preprocess
+    from pcgan_tpu.sample import make_sampler
+    from pcgan_tpu.utils.visualizer import HTMLPage, save_image, tensor_to_u8
+
+    sampler = make_sampler(cfg, G)
+    pre = make_preprocess(cfg, train=False)
+    page = HTMLPage(os.path.join(run_dir, "web"), title=cfg.run.name)
+    cache = {}
+
+    def display(state, raw, epoch):
+        if "preview" not in cache:
+            img = raw["image"]
+            n = min(2, img.shape[0])
+            batch = pre(jax.random.PRNGKey(0), {"image": img[:n]})
+            cache["preview"] = batch["image"].astype(jnp.float32)
+        real = cache["preview"]
+        g_vars = {"params": state.g_params, **state.g_state}
+        fakes = np.asarray(sampler(g_vars, real))         # (n, nb, H, W, C)
+        n, nb = fakes.shape[:2]
+        rows = []
+        for i in range(n):
+            strip = np.concatenate(
+                [np.asarray(real[i])] + [fakes[i, b] for b in range(nb)],
+                axis=1)
+            rows.append(strip)
+        grid = np.concatenate(rows, axis=0)
+        fn = f"epoch{epoch:03d}_step{int(state.step):07d}.png"
+        save_image(tensor_to_u8(grid), os.path.join(run_dir, "web", "images",
+                                                    fn))
+        page.add_header(f"epoch {epoch} step {int(state.step)}")
+        page.add_images([fn], [fn], width=min(1024, grid.shape[1]))
+        page.save()
+
+    return display
 
 
 def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
