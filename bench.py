@@ -65,9 +65,37 @@ def measure(cfg, steps: int, warmup: int = 3) -> float:
     return cfg.data.batch_size * steps / dt / n_chips
 
 
+def measure_latency(cfg, n: int = 50):
+    """p50/p99 single-image aging-sample latency (BASELINE latency metric)."""
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_G
+    from pcgan_tpu.models.registry import init_params
+
+    G = define_G(cfg)
+    s = cfg.data.crop_size
+    x = jnp.zeros((1, s, s, cfg.data.input_nc),
+                  jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32)
+    cond = jnp.eye(cfg.data.n_age_bins, dtype=x.dtype)[:1]
+    variables = init_params(G, jax.random.PRNGKey(0), x, cond, train=False)
+    fwd = jax.jit(lambda v, x, c: G.apply(v, x, c, train=False))
+    _ = jax.device_get(fwd(variables, x, cond))[0, 0, 0, 0]   # compile+sync
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        y = fwd(variables, x, cond)
+        _ = jax.device_get(y[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    import numpy as np
+    return (float(np.percentile(times, 50)) * 1e3,
+            float(np.percentile(times, 99)) * 1e3)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny CPU config")
+    p.add_argument("--latency", action="store_true",
+                   help="measure p50/p99 single-image sample latency instead")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--size", type=int, default=128)
@@ -89,7 +117,7 @@ def main():
             train=TrainConfig(pool_size=8))
         steps = args.steps or 5
     else:
-        batch = args.batch or 32
+        batch = args.batch or 64   # measured sweet spot on v5e (556 imgs/s)
         cfg = Config(
             data=DataConfig(batch_size=batch, crop_size=args.size,
                             load_size=int(args.size * 143 / 128),
@@ -97,6 +125,15 @@ def main():
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16"),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
         steps = args.steps or 30
+
+    if args.latency:
+        p50, p99 = measure_latency(cfg)
+        print(json.dumps({
+            "metric": f"sample_latency_p50_{cfg.data.crop_size}px",
+            "value": round(p50, 3), "unit": "ms",
+            "vs_baseline": None, "p99_ms": round(p99, 3),
+        }))
+        return
 
     value = measure(cfg, steps)
 

@@ -38,6 +38,7 @@ class DataConfig:
     serial_batches: bool = False
     num_threads: int = 4             # host-side decode workers
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
+    labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
     batch_size: int = 8              # GLOBAL batch (split across data mesh axis)
     input_nc: int = 3
     output_nc: int = 3
@@ -120,6 +121,7 @@ class RunConfig:
     eval: bool = False
     verbose: bool = False
     isTrain: bool = True
+    profile_steps: int = 0           # >0: jax.profiler trace of N steps
 
 
 @dataclass(frozen=True)
@@ -166,6 +168,7 @@ _FLAG_MAP = {
     "serial_batches": ("data", "serial_batches"),
     "num_threads": ("data", "num_threads"),
     "max_dataset_size": ("data", "max_dataset_size"),
+    "labels_csv": ("data", "labels_csv"),
     "batch_size": ("data", "batch_size"),
     "input_nc": ("data", "input_nc"),
     "output_nc": ("data", "output_nc"),
@@ -216,6 +219,7 @@ _FLAG_MAP = {
     "epoch": ("run", "epoch"),
     "num_test": ("run", "num_test"),
     "eval": ("run", "eval"),
+    "profile_steps": ("run", "profile_steps"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
 }

@@ -12,11 +12,10 @@ reference's ``--dataset_mode`` dispatch (SURVEY.md SS2 C10).
 
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 
@@ -39,10 +38,12 @@ def create_dataset(cfg: Config, train: bool = True):
     if mode in ("aging", "single"):
         return UTKFaceDataset(cfg.data.dataroot, max_size=ms,
                               require_age=(mode == "aging"))
+    if mode == "sorted":
+        from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
+        return SortedLabelsDataset(cfg.data.labels_csv, max_size=ms)
     if mode == "pairwise":
         base_mode = "synthetic" if not cfg.data.dataroot or not _exists(
             cfg.data.dataroot) else "aging"
-        from pcgan_tpu.config import replace
         import dataclasses
         base_cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset_mode=base_mode))

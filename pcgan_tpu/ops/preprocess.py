@@ -32,8 +32,6 @@ identity cases (crop==load, no resize).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

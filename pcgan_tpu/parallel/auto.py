@@ -15,11 +15,9 @@ desired batch size; otherwise pure DP wins (no halo traffic).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pcgan_tpu.config import Config

@@ -23,7 +23,6 @@ grads == full-batch grad for mean-reduced losses).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -100,7 +99,9 @@ def make_parallel_train_step(cfg: Config, G, D, C=None,
                            in_specs=(state_specs, batch_specs),
                            out_specs=(state_specs, P()),
                            check_vma=False)
-            compiled[key] = jax.jit(fn)
+            # donate the state: params/opt/pool buffers are overwritten every
+            # step — halves peak HBM for the state and skips copies
+            compiled[key] = jax.jit(fn, donate_argnums=(0,))
         return compiled[key](state, raw_batch)
 
     return step
@@ -138,7 +139,7 @@ def make_parallel_comparator_step(cfg: Config, C, steps_per_epoch: int = 1,
                            in_specs=(state_specs, batch_specs),
                            out_specs=(state_specs, P()),
                            check_vma=False)
-            compiled[key] = jax.jit(fn)
+            compiled[key] = jax.jit(fn, donate_argnums=(0,))
         return compiled[key](state, raw_batch)
 
     return step

@@ -8,7 +8,6 @@ as a single large MXU-friendly call instead of the reference's per-bin loop.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -32,7 +32,6 @@ Loss composition (SURVEY.md SS4.1):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -1,0 +1,85 @@
+"""Dataset protocol tests: UTKFace filename parsing, synthetic determinism,
+pairwise labels, sorted-CSV mode, loader batching (SURVEY.md SS2 C10)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcgan_tpu.data.loader import Loader, with_bins
+from pcgan_tpu.data.pairwise import PairwiseComparisonDataset
+from pcgan_tpu.data.synthetic import SyntheticAgingDataset
+from pcgan_tpu.data.utkface import parse_age
+
+
+def test_parse_age():
+    assert parse_age("23_1_0_20170116174525125.jpg") == 23
+    assert parse_age("/data/utk/100_0_0_x.jpg") == 100
+    assert parse_age("face.jpg") is None
+    assert parse_age("999_1_0_x.jpg") is None    # out of range
+
+
+def test_synthetic_deterministic_and_age_effect():
+    ds = SyntheticAgingDataset(size=8, seed=3)
+    a = ds.get_raw(0)
+    b = ds.get_raw(0)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["image"].shape == (200, 200, 3) and a["image"].dtype == np.uint8
+    assert 1 <= a["age"] <= 90
+
+
+def test_pairwise_labels_consistent():
+    base = SyntheticAgingDataset(size=20, seed=0)
+    ds = PairwiseComparisonDataset(base, pairs_per_epoch=30, tie_years=3,
+                                   seed=0)
+    for i in range(10):
+        item = ds.get_raw(i)
+        ia, ib = ds._idx[i]
+        da = base.ages[ia] - base.ages[ib]
+        want = 2 if abs(da) <= 3 else (0 if da > 0 else 1)
+        assert int(item["label"]) == want
+
+
+def test_sorted_labels_dataset(tmp_path, np_rng):
+    from PIL import Image
+    from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(np_rng.integers(0, 255, (50, 50, 3),
+                                        dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    csv_path = tmp_path / "labels.csv"
+    with open(csv_path, "w") as f:
+        f.write("path,bin,score\n")
+        for i, p in enumerate(paths):
+            f.write(f"{p},{i % 3},{i * 0.1}\n")
+    ds = SortedLabelsDataset(str(csv_path))
+    assert len(ds) == 4
+    item = ds.get_raw(2)
+    assert item["image"].shape == (200, 200, 3)   # resized to native canvas
+    assert int(item["bin"]) == 2
+    # bins pass through with_bins untouched (no 'age' key)
+    ld = Loader(ds, 2, shuffle=False, num_threads=1)
+    batch = next(iter(with_bins(iter(ld), 10)))
+    assert "bin" in batch and batch["bin"].shape == (2,)
+
+
+def test_loader_shuffle_and_drop_last():
+    ds = SyntheticAgingDataset(size=10, seed=0)
+    ld = Loader(ds, 4, shuffle=True, seed=0, num_threads=2)
+    assert len(ld) == 2                  # drop_last
+    batches = list(iter(ld))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 200, 200, 3)
+    # different epoch -> different order
+    b2 = list(iter(ld))
+    assert not np.array_equal(batches[0]["age"], b2[0]["age"])
+
+
+def test_with_bins():
+    ds = SyntheticAgingDataset(size=8, seed=0)
+    ld = Loader(ds, 4, shuffle=False, num_threads=1)
+    batch = next(iter(with_bins(iter(ld), 10)))
+    assert batch["bin"].dtype == np.int32
+    assert (batch["bin"] >= 0).all() and (batch["bin"] < 10).all()

@@ -15,7 +15,6 @@ JSONL metrics. `--model comparator` runs comparator pretraining
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import numpy as np
@@ -67,7 +66,7 @@ def main(argv=None):
 def _epoch_iter(cfg, ld, mesh):
     """One epoch of device-prefetched, mesh-sharded raw batches."""
     import jax
-    from pcgan_tpu.data.loader import device_prefetch, with_bins
+    from pcgan_tpu.data.loader import with_bins
     from pcgan_tpu.parallel.mesh import batch_sharding
 
     def shard_puts(it):
@@ -121,11 +120,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     total_epochs = cfg.train.niter + cfg.train.niter_decay
     t = cfg.train
     display = _make_display(cfg, G, run_dir)
+    profiling = {"active": False, "left": cfg.run.profile_steps, "skip": 3}
     gstep = int(state.step)
     for epoch in range(t.epoch_count, total_epochs + 1):
         epoch_t0 = time.time()
         timer.start()
         for raw in _epoch_iter(cfg, ld, mesh):
+            _profile_tick(profiling, run_dir)
             state, metrics = step_fn(state, raw)
             gstep += 1
             timer.tick(cfg.data.batch_size)
@@ -156,6 +157,28 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
     ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
                         "latest", wait=True)
+
+
+def _profile_tick(p, run_dir):
+    """--profile_steps N: capture a jax.profiler trace of N steady-state
+    steps (skipping the first compile steps) to {run_dir}/trace
+    (SURVEY.md SS6 tracing row)."""
+    if p["left"] <= 0 and not p["active"]:
+        return
+    import jax
+    if p["skip"] > 0:
+        p["skip"] -= 1
+        return
+    if not p["active"]:
+        jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+        p["active"] = True
+        print(f"profiling {p['left']} steps -> {run_dir}/trace", flush=True)
+        return
+    p["left"] -= 1
+    if p["left"] <= 0:
+        jax.profiler.stop_trace()
+        p["active"] = False
+        print("profile trace written", flush=True)
 
 
 def _make_display(cfg, G, run_dir):
