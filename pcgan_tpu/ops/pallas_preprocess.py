@@ -35,26 +35,40 @@ from pcgan_tpu.ops.preprocess import resize_matrix
 
 
 def _kernel(cy_ref, cx_ref, flip_ref,            # scalar prefetch (B,) SMEM
-            img_ref, mh_ref, mw_ref,             # (1,H,W,C) u8, (load,H), (load,W)
-            out_ref):                            # (1, crop, crop, C)
+            img_ref, mh_ref, mw_ref,             # (1,C,H,W) u8, (load,H), (load,W)
+            out_ref):                            # (1, C, crop, crop)
     b = pl.program_id(0)
-    crop = out_ref.shape[1]
+    crop = out_ref.shape[2]
+    load = mh_ref.shape[0]
     y0 = cy_ref[b]
     x0 = cx_ref[b]
     do_flip = flip_ref[b]
 
-    mh = mh_ref[pl.ds(y0, crop), :]              # (crop, H)
-    mw = mw_ref[pl.ds(x0, crop), :]              # (crop, W)
-    mw = jnp.where(do_flip > 0, mw[::-1, :], mw)  # flip = reversed out rows
+    # Crop (and flip) as SELECTION-MATRIX matmuls: Mosaic requires dynamic
+    # slices on the sublane dim to be 8-aligned (crop offsets aren't), and
+    # `rev` has no TPU lowering — but S @ M with an iota-built 0/1 selector
+    # handles both, stays on the MXU, and has no alignment constraints.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (crop, load), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (crop, load), 1)
+    sel_y = (cj == y0 + ri).astype(jnp.float32)              # row-crop
+    ri_eff = jnp.where(do_flip > 0, crop - 1 - ri, ri)       # flip folds in
+    sel_x = (cj == x0 + ri_eff).astype(jnp.float32)          # col-crop+flip
+    mh = jnp.dot(sel_y, mh_ref[...], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    mw = jnp.dot(sel_x, mw_ref[...], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
 
-    img = img_ref[0].astype(jnp.float32)         # (H, W, C)
-    for ch in range(img.shape[-1]):              # C is 1 or 3: static loop
-        t = jnp.dot(mh, img[:, :, ch], preferred_element_type=jnp.float32,
+    # Channel-LEADING layout: an (H, W, 3) VMEM block would pad the 3-lane
+    # dim to 128 (42x VMEM waste -> OOM); (C, H, W) keeps lanes dense.
+    for ch in range(out_ref.shape[1]):           # C is 1 or 3: static loop
+        # Mosaic has no direct u8->f32 cast; stage through int32
+        img_c = img_ref[0, ch].astype(jnp.int32).astype(jnp.float32)  # (H, W)
+        t = jnp.dot(mh, img_c, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)       # (crop, W)
         o = jnp.dot(t, mw.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)       # (crop, crop)
         o = jnp.clip(o * (2.0 / 255.0) - 1.0, -1.0, 1.0)
-        out_ref[0, :, :, ch] = o.astype(out_ref.dtype)
+        out_ref[0, ch] = o.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("load_size", "crop_size",
@@ -71,26 +85,28 @@ def pallas_preprocess_batch(imgs: jnp.ndarray, crop_y: jnp.ndarray,
     b, h, w, c = imgs.shape
     mh = jnp.asarray(resize_matrix(h, load_size, method))
     mw = jnp.asarray(resize_matrix(w, load_size, method))
+    imgs_chw = jnp.transpose(imgs, (0, 3, 1, 2))   # NHWC -> NCHW for VMEM
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, crop_size, crop_size, c),
+        out_specs=pl.BlockSpec((1, c, crop_size, crop_size),
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, crop_size, crop_size, c),
+        out_shape=jax.ShapeDtypeStruct((b, c, crop_size, crop_size),
                                        out_dtype),
         interpret=interpret,
     )(crop_y.astype(jnp.int32), crop_x.astype(jnp.int32),
-      flip.astype(jnp.int32), imgs, mh, mw)
+      flip.astype(jnp.int32), imgs_chw, mh, mw)
+    return jnp.transpose(out, (0, 2, 3, 1))        # back to NHWC

@@ -143,12 +143,19 @@ def make_preprocess(cfg, train: bool = True):
     raw_batch: {'image': (B,H,W,C) u8 native-size, 'bin': (B,) int32, ...}.
     Handles the reference's --preprocess modes and --no_flip; at eval
     (train=False) uses center crop and no flip (reference test transform).
+    With ``cfg.data.pallas_pipeline`` on a TPU backend, the fused Pallas
+    kernel (ops/pallas_preprocess.py) replaces the einsum path — identical
+    math, one kernel.
     """
     d = cfg.data
     mode = d.preprocess
     load = d.load_size if "resize" in mode or mode == "scale_width" else None
     crop = d.crop_size if "crop" in mode else (load or d.crop_size)
     out_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    use_pallas = bool(d.pallas_pipeline) and _on_tpu()
+    if use_pallas:
+        from pcgan_tpu.ops.pallas_preprocess import pallas_preprocess_batch
 
     def fn(rng, raw):
         imgs = raw["image"]
@@ -168,8 +175,20 @@ def make_preprocess(cfg, train: bool = True):
         else:
             fl = jnp.zeros((b,), bool)
         out = {k: v for k, v in raw.items() if k != "image"}
-        out["image"] = preprocess_batch(imgs, cy, cx, fl, eff_load, crop,
-                                        out_dtype=out_dtype)
+        if use_pallas:
+            out["image"] = pallas_preprocess_batch(
+                imgs, cy, cx, fl.astype(jnp.int32), eff_load, crop,
+                out_dtype=out_dtype)
+        else:
+            out["image"] = preprocess_batch(imgs, cy, cx, fl, eff_load, crop,
+                                            out_dtype=out_dtype)
         return out
 
     return fn
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

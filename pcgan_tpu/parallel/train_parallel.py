@@ -37,10 +37,20 @@ from pcgan_tpu.train import (TrainState, make_comparator_step, make_train_step)
 AXIS = "data"
 
 
+def _pool_disabled(state: TrainState) -> bool:
+    # count == -1 is the init_pool 'disabled' sentinel; state here is always
+    # concrete (spec construction happens outside traced code)
+    return int(state.pool.count) < 0
+
+
 def _state_pspecs(state: TrainState) -> Any:
     """PartitionSpec tree for TrainState: pool buffers sharded on the data
-    axis, everything else replicated."""
+    axis (device-local history), everything else replicated. A disabled pool
+    (pool_size=0, 1-slot sentinel buffer) stays replicated — its buffers are
+    never written, so the replication invariant holds."""
     specs = jax.tree.map(lambda _: P(), state)
+    if _pool_disabled(state):
+        return specs
     return specs.replace(pool=specs.pool.replace(
         imgs=P(AXIS, *([None] * (state.pool.imgs.ndim - 1))),
         conds=P(AXIS, None),
@@ -51,7 +61,7 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Lay the freshly-created state out on the mesh (replicated params,
     sharded pool). Pool size must divide the data-axis size."""
     n = mesh.shape[AXIS]
-    if state.pool.imgs.shape[0] % max(n, 1):
+    if not _pool_disabled(state) and state.pool.imgs.shape[0] % max(n, 1):
         raise ValueError(
             f"pool_size {state.pool.imgs.shape[0]} must divide data axis {n}")
     specs = _state_pspecs(state)

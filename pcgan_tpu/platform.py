@@ -18,8 +18,15 @@ def respect_env_platform() -> None:
         return
     import jax
     try:
-        current = jax.config.jax_platforms
-    except AttributeError:
+        # compare against the ACTIVE backend, not the config string: a
+        # config.update resets backends, and a re-created CPU client loses
+        # --xla_force_host_platform_device_count (observed: 8 -> 1 devices),
+        # so never reset when the right platform is already live.
+        current = jax.default_backend()
+    except Exception:
         current = None
-    if current != plat:
+    want = plat.split(",")[0]
+    # axon devices report platform 'tpu'
+    aliases = {"axon": "tpu"}
+    if aliases.get(current, current) != aliases.get(want, want):
         jax.config.update("jax_platforms", plat)

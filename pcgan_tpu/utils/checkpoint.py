@@ -38,7 +38,11 @@ def save(state: Any, checkpoints_dir: str, name: str, tag: str = "latest",
          wait: bool = False) -> str:
     path = _dir(checkpoints_dir, name, tag)
     c = _ckpt()
-    c.save(path, state, force=True)
+    # snapshot to host first: orbax's StandardCheckpointer saves async, and
+    # the train step DONATES its state buffers — serializing device arrays
+    # in-flight would read freed memory once the next step runs
+    host_state = jax.device_get(state)
+    c.save(path, host_state, force=True)
     if wait:
         c.wait_until_finished()
     return path

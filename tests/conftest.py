@@ -4,13 +4,25 @@ mesh/collective tests run without TPU hardware. Must run before jax imports.
 
 import os
 
-# hard override: the ambient env points JAX at the TPU tunnel (axon); tests
-# must run on CPU with a virtual 8-device mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU with 8 virtual devices DETERMINISTICALLY. Env vars alone are not
+# enough: this sandbox's sitecustomize imports jax at interpreter start and,
+# when the TPU tunnel is free, registers the axon plugin and explicitly sets
+# jax_platforms='axon,cpu' — so whether pytest saw TPU or CPU used to depend
+# on tunnel contention. jax.config wins over everything, and
+# jax_num_cpu_devices replaces the XLA_FLAGS count (which a backend reset
+# does not re-read).
+os.environ["JAX_PLATFORMS"] = "cpu"   # for subprocesses spawned by tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
