@@ -69,6 +69,7 @@ class ModelConfig:
     tie_margin: float = 0.5          # Thurstone-with-ties decision margin
     # numerics
     dtype: str = "bfloat16"          # compute dtype on TPU; params stay f32
+    remat: bool = False              # rematerialize G resnet blocks (256px HBM)
 
 
 @dataclass(frozen=True)
@@ -190,6 +191,7 @@ _FLAG_MAP = {
     "cmp_n_down": ("model", "cmp_n_down"),
     "tie_margin": ("model", "tie_margin"),
     "dtype": ("model", "dtype"),
+    "remat": ("model", "remat"),
     "name": ("run", "name"),
     "checkpoints_dir": ("run", "checkpoints_dir"),
     "verbose": ("run", "verbose"),

@@ -80,6 +80,7 @@ class ResnetGenerator(nn.Module):
     use_dropout: bool = False
     cond_inject: str = "input"       # input | bottleneck
     upsample: str = "deconv"         # deconv (parity) | resize_conv (fast path)
+    remat: bool = False              # rematerialize resnet blocks (256px HBM)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -113,9 +114,13 @@ class ResnetGenerator(nn.Module):
             h = TorchConv(self.ngf * mult, 1, 1, 0, use_bias=use_bias, **kw)(h)
 
         mult = 2 ** self.n_downsampling
+        # remat trades FLOPs for HBM (SURVEY.md SS7: 256px large-batch path):
+        # each block's activations are recomputed in the backward pass
+        block_cls = (nn.remat(ResnetBlock, static_argnums=(2,))
+                     if self.remat else ResnetBlock)   # train flag is static
         for _ in range(self.n_blocks):
-            h = ResnetBlock(self.ngf * mult, self.norm, self.use_dropout,
-                            dtype=self.dtype, kernel_init=self.kernel_init)(h, train)
+            h = block_cls(self.ngf * mult, self.norm, self.use_dropout,
+                          dtype=self.dtype, kernel_init=self.kernel_init)(h, train)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

@@ -41,9 +41,11 @@ def define_G(cfg: Config) -> nn.Module:
               use_dropout=not cfg.model.no_dropout,
               cond_inject=cfg.model.cond_inject)
     if base == "resnet_9blocks":
-        return ResnetGenerator(n_blocks=9, upsample=variant or "deconv", **kw)
+        return ResnetGenerator(n_blocks=9, upsample=variant or "deconv",
+                               remat=cfg.model.remat, **kw)
     if base == "resnet_6blocks":
-        return ResnetGenerator(n_blocks=6, upsample=variant or "deconv", **kw)
+        return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
+                               remat=cfg.model.remat, **kw)
     if base == "unet_128":
         return UnetGenerator(num_downs=7, **kw)
     if base == "unet_256":

@@ -1,0 +1,78 @@
+"""Checkpoint round-trips (SURVEY.md SS6 checkpoint row): full train state,
+G-only sampler checkpoints, cross-shape independence of the G-only path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from pcgan_tpu.models.registry import define_D, define_G, init_params
+from pcgan_tpu.train import create_train_state, make_train_step
+from pcgan_tpu.utils import checkpoint as ckpt
+
+
+def _cfg(pool=8):
+    return Config(
+        data=DataConfig(batch_size=2, crop_size=32, load_size=32,
+                        n_age_bins=4),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                          dtype="float32"),
+        train=TrainConfig(pool_size=pool, lambda_cond=0.0))
+
+
+def test_full_state_roundtrip(tmp_path):
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(3), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    batch = {"image": jnp.zeros((2, 32, 32, 3)),
+             "bin": jnp.array([0, 1], jnp.int32)}
+    state, _ = step(state, batch)
+
+    ckpt.save(state, str(tmp_path), "run", "latest", wait=True)
+    template = create_train_state(cfg, G, D, jax.random.PRNGKey(99), 10)
+    restored = ckpt.restore(template, str(tmp_path), "run", "latest")
+    assert int(restored.step) == int(state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.pool.imgs),
+                                  np.asarray(restored.pool.imgs))
+    # resumed training continues deterministically
+    s1, m1 = step(state, batch)
+    s2, m2 = step(restored, batch)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
+def test_generator_only_roundtrip_ignores_train_shapes(tmp_path):
+    """The G-only checkpoint restores without knowing pool size / optimizer
+    shapes (the reference's latest_net_G.pth property)."""
+    cfg = _cfg(pool=8)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    ckpt.save_generator(state, str(tmp_path), "run", "latest", wait=True)
+
+    template = init_params(G, jax.random.PRNGKey(42),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 4)), train=False)
+    g_vars = ckpt.restore_generator(template, str(tmp_path), "run", "latest")
+    x = jnp.linspace(-1, 1, 1 * 32 * 32 * 3).reshape(1, 32, 32, 3)
+    cond = jnp.eye(4)[:1]
+    out_restored = G.apply(g_vars, x, cond, train=False)
+    out_orig = G.apply({"params": state.g_params, **state.g_state}, x, cond,
+                       train=False)
+    np.testing.assert_array_equal(np.asarray(out_restored),
+                                  np.asarray(out_orig))
+
+
+def test_exists(tmp_path):
+    assert not ckpt.exists(str(tmp_path), "nope", "latest")
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    ckpt.save(state, str(tmp_path), "run", "epoch_7", wait=True)
+    assert ckpt.exists(str(tmp_path), "run", "epoch_7")
+    assert not ckpt.exists(str(tmp_path), "run", "latest")
