@@ -66,6 +66,51 @@ class ResnetG(nn.Module):
         return self.net(x)
 
 
+class UnetBlock(nn.Module):
+    """pix2pix-template-style recursive U-Net block (torch mirror used for
+    .pth importer parity tests)."""
+
+    def __init__(self, outer_nc, inner_nc, input_nc=None, submodule=None,
+                 outermost=False, innermost=False):
+        super().__init__()
+        self.outermost = outermost
+        if input_nc is None:
+            input_nc = outer_nc
+        downconv = nn.Conv2d(input_nc, inner_nc, 4, 2, 1)
+        downrelu = nn.LeakyReLU(0.2, True)
+        downnorm = nn.InstanceNorm2d(inner_nc)
+        uprelu = nn.ReLU(True)
+        upnorm = nn.InstanceNorm2d(outer_nc)
+        if outermost:
+            upconv = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            model = [downconv] + ([submodule] if submodule else []) \
+                + [uprelu, upconv, nn.Tanh()]
+        elif innermost:
+            upconv = nn.ConvTranspose2d(inner_nc, outer_nc, 4, 2, 1)
+            model = [downrelu, downconv, uprelu, upconv, upnorm]
+        else:
+            upconv = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            model = [downrelu, downconv, downnorm, submodule, uprelu, upconv,
+                     upnorm]
+        self.model = nn.Sequential(*model)
+
+    def forward(self, x):
+        if self.outermost:
+            return self.model(x)
+        return torch.cat([x, self.model(x)], 1)
+
+
+def build_unet(input_nc, output_nc, num_downs, ngf=64):
+    blk = UnetBlock(ngf * 8, ngf * 8, innermost=True)
+    for _ in range(num_downs - 5):
+        blk = UnetBlock(ngf * 8, ngf * 8, submodule=blk)
+    blk = UnetBlock(ngf * 4, ngf * 8, submodule=blk)
+    blk = UnetBlock(ngf * 2, ngf * 4, submodule=blk)
+    blk = UnetBlock(ngf, ngf * 2, submodule=blk)
+    return UnetBlock(output_nc, ngf, input_nc=input_nc, submodule=blk,
+                     outermost=True)
+
+
 class PatchD(nn.Module):
     def __init__(self, in_nc, ndf=64):
         super().__init__()

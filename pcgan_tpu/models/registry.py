@@ -46,10 +46,12 @@ def define_G(cfg: Config) -> nn.Module:
     if base == "resnet_6blocks":
         return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
                                remat=cfg.model.remat, **kw)
-    if base == "unet_128":
-        return UnetGenerator(num_downs=7, **kw)
-    if base == "unet_256":
-        return UnetGenerator(num_downs=8, **kw)
+    if base.startswith("unet_"):
+        # template naming: unet_<image size>, num_downs = log2(size)
+        size = int(base.split("_")[1])
+        if size & (size - 1):
+            raise NotImplementedError(f"netG [{name}]: size must be a power of 2")
+        return UnetGenerator(num_downs=size.bit_length() - 1, **kw)
     raise NotImplementedError(f"netG [{name}] not implemented")
 
 

@@ -52,21 +52,23 @@ def resnet_generator_order(n_blocks: int, n_downsampling: int = 2,
 
 
 def unet_generator_order(num_downs: int) -> List[Tuple[Tuple[str, ...], str]]:
-    """U-Net params in torch registration order (innermost-first recursion:
-    the torch template builds blocks inside-out, so the state_dict walks the
-    nesting from the OUTERMOST Sequential downward: down-conv, submodule...,
-    up-conv at each level)."""
-    # our flax naming: nested UnetSkipBlock_0 chains; build the path prefix
-    # for each level from outermost inward.
+    """U-Net params in torch registration order.
+
+    torch walks the nested Sequentials depth-first: down-conv of every level
+    from OUTERMOST to innermost, then up-convs from innermost back out.
+    Our flax UnetGenerator creates all blocks lexically in one compact scope,
+    so flax ADOPTS them as flat siblings named in creation order —
+    UnetSkipBlock_0 is the INNERMOST, UnetSkipBlock_{num_downs-1} the
+    outermost (verified against the real param tree in
+    tests/test_pth_import.py).
+    """
+    n = num_downs
     order: List[Tuple[Tuple[str, ...], str]] = []
-
-    def level(prefix: Tuple[str, ...], depth: int):
-        order.append((prefix + ("TorchConv_0",), "conv"))
-        if depth > 0:
-            level(prefix + ("UnetSkipBlock_0",), depth - 1)
-        order.append((prefix + ("TorchConvTranspose_0",), "deconv"))
-
-    level(("UnetSkipBlock_0",), num_downs - 1)
+    for blk in range(n - 1, -1, -1):                     # downs: outer -> inner
+        order.append(((f"UnetSkipBlock_{blk}", "TorchConv_0"), "conv"))
+    for blk in range(n):                                 # ups: inner -> outer
+        order.append(((f"UnetSkipBlock_{blk}", "TorchConvTranspose_0"),
+                      "deconv"))
     return order
 
 
@@ -76,10 +78,9 @@ def generator_order(netG: str, cond_inject: str = "input"):
         return resnet_generator_order(9, cond_inject=cond_inject)
     if base == "resnet_6blocks":
         return resnet_generator_order(6, cond_inject=cond_inject)
-    if base == "unet_128":
-        return unet_generator_order(7)
-    if base == "unet_256":
-        return unet_generator_order(8)
+    if base.startswith("unet_"):
+        size = int(base.split("_")[1])
+        return unet_generator_order(size.bit_length() - 1)
     raise NotImplementedError(f"no import order for netG [{netG}]")
 
 

@@ -54,6 +54,28 @@ def test_pth_import_per_pixel_parity(np_rng):
     np.testing.assert_allclose(np.asarray(out_flax), out_t, atol=1e-4)
 
 
+def test_unet_pth_import_per_pixel_parity(np_rng):
+    from torch_baseline import build_unet
+    nb = 4
+    tG = build_unet(3 + nb, 3, num_downs=5, ngf=8).eval()
+    cfg = Config(data=DataConfig(n_age_bins=nb),
+                 model=ModelConfig(netG="unet_32", ngf=8, dtype="float32"))
+    G = define_G(cfg)
+    x = (np_rng.random((2, 32, 32, 3)).astype(np.float32)) * 2 - 1
+    cond = np.eye(nb, dtype=np.float32)[[0, 2]]
+    variables = init_params(G, jax.random.PRNGKey(0), jnp.asarray(x),
+                            jnp.asarray(cond))
+    new_params = import_generator_pth(tG.state_dict(), variables["params"],
+                                      "unet_32")
+    out_flax = G.apply({"params": new_params}, jnp.asarray(x),
+                       jnp.asarray(cond), train=False)
+    with torch.no_grad():
+        cmap = torch.from_numpy(cond)[:, :, None, None].expand(-1, -1, 32, 32)
+        xin = torch.cat([torch.from_numpy(x.transpose(0, 3, 1, 2)), cmap], 1)
+        out_t = tG(xin).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_flax), out_t, atol=1e-4)
+
+
 def test_import_shape_mismatch_raises(np_rng):
     nb = 4
     tG = ResnetG(3 + nb, 3, ngf=16, n_blocks=6).eval()
