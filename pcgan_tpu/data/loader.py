@@ -112,15 +112,21 @@ def with_bins(it: Iterator[Dict], n_bins: int, max_age: int = 116):
 
 def device_prefetch(it: Iterator[Dict], size: int = 2,
                     sharding=None) -> Iterator[Dict]:
-    """Move batches to device ahead of consumption on a background thread.
+    """Run the upstream iterator (decode + transfer) on a background thread,
+    `size` batches ahead of consumption, so host IO overlaps device compute.
 
-    With `sharding` (a jax.sharding.Sharding) the host batch is laid out
-    across the mesh's data axis directly at transfer time — per-host data
-    sharding in the SURVEY.md SS3.2 sense.
+    With `sharding` (a jax.sharding.Sharding) host batches are additionally
+    laid out across the mesh's data axis at transfer time — per-host data
+    sharding in the SURVEY.md SS3.2 sense. With sharding=None batches pass
+    through untouched (the upstream may already device_put with its own
+    shardings).
     """
+    def put(b):
+        return jax.device_put(b, sharding) if sharding is not None else b
+
     if size <= 0:
         for b in it:
-            yield _put(b, sharding)
+            yield put(b)
         return
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
@@ -128,7 +134,7 @@ def device_prefetch(it: Iterator[Dict], size: int = 2,
     def producer():
         try:
             for b in it:
-                q.put(_put(b, sharding))
+                q.put(put(b))
         finally:
             q.put(_END)
 
@@ -139,9 +145,3 @@ def device_prefetch(it: Iterator[Dict], size: int = 2,
         if item is _END:
             return
         yield item
-
-
-def _put(batch: Dict[str, np.ndarray], sharding=None) -> Dict:
-    if sharding is None:
-        return jax.device_put(batch)
-    return jax.device_put(batch, sharding)

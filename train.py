@@ -64,9 +64,11 @@ def main(argv=None):
 
 
 def _epoch_iter(cfg, ld, mesh):
-    """One epoch of device-prefetched, mesh-sharded raw batches."""
+    """One epoch of mesh-sharded raw batches, decoded + transferred on a
+    background thread so host IO overlaps device compute (SURVEY.md SS4.1:
+    the decode path is the reference's throughput ceiling)."""
     import jax
-    from pcgan_tpu.data.loader import with_bins
+    from pcgan_tpu.data.loader import device_prefetch, with_bins
     from pcgan_tpu.parallel.mesh import batch_sharding
 
     def shard_puts(it):
@@ -74,8 +76,9 @@ def _epoch_iter(cfg, ld, mesh):
             shard = batch_sharding(mesh, b)
             yield {k: jax.device_put(v, shard[k]) for k, v in b.items()}
 
-    return shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
-                                cfg.data.max_age))
+    it = shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
+                              cfg.data.max_age))
+    return device_prefetch(it, size=cfg.data.prefetch)
 
 
 def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
@@ -133,9 +136,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             if gstep % t.display_freq == 0:
                 display(state, raw, epoch)
             if gstep % t.print_freq == 0:
-                jax.block_until_ready(metrics)
+                # ONE device_get for all metrics: it both syncs the step
+                # (block_until_ready does not wait under the axon tunnel)
+                # and avoids a host round-trip per scalar
+                host_metrics = jax.device_get(metrics)
                 rate = timer.rate()
-                logger.log(gstep, {k: float(v) for k, v in metrics.items()},
+                logger.log(gstep,
+                           {k: float(v) for k, v in host_metrics.items()},
                            epoch=epoch, imgs_per_sec=rate,
                            lr=float(sched(gstep)))
                 timer.start()
