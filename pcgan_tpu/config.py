@@ -98,6 +98,9 @@ class TrainConfig:
     save_epoch_freq: int = 5
     # comparator pretraining
     comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
+    # in-training eval (BASELINE config 5 streaming FID)
+    eval_fid_epoch_freq: int = 0     # 0 = off; else FID every N epochs
+    eval_fid_images: int = 512
 
 
 @dataclass(frozen=True)
@@ -123,6 +126,7 @@ class RunConfig:
     verbose: bool = False
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
+    debug_nans: bool = False         # jax nan-checking (SURVEY.md SS6 sanitizers)
 
 
 @dataclass(frozen=True)
@@ -215,6 +219,8 @@ _FLAG_MAP = {
     "save_latest_freq": ("train", "save_latest_freq"),
     "save_epoch_freq": ("train", "save_epoch_freq"),
     "comparator_path": ("train", "comparator_path"),
+    "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
+    "eval_fid_images": ("train", "eval_fid_images"),
     # test options
     "results_dir": ("run", "results_dir"),
     "phase": ("run", "phase"),
@@ -222,6 +228,7 @@ _FLAG_MAP = {
     "num_test": ("run", "num_test"),
     "eval": ("run", "eval"),
     "profile_steps": ("run", "profile_steps"),
+    "debug_nans": ("run", "debug_nans"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
 }

@@ -62,28 +62,39 @@ class Loader:
 
     Each epoch yields len(ds)//batch (drop_last) batches of
     {'image': (B,H,W,C) u8, 'age': (B,) i64} (or pairwise keys).
+
+    Multi-host: pass shard_id=jax.process_index(), num_shards=
+    jax.process_count() and the PER-HOST batch size — every host then
+    iterates a disjoint slice of each epoch's (identically-seeded) shuffle,
+    which is the per-host half of SURVEY.md SS3.2's data sharding.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 num_threads: int = 4, seed: int = 0, drop_last: bool = True):
+                 num_threads: int = 4, seed: int = 0, drop_last: bool = True,
+                 shard_id: int = 0, num_shards: int = 1):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_threads))
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.ds)
+        n = len(self.ds) // self.num_shards
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:
+            # same seed on every host -> identical permutation -> disjoint
+            # per-host slices
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        order = order[self.shard_id::self.num_shards]
         self.epoch += 1
         nb = len(self)
         for b in range(nb):

@@ -55,5 +55,20 @@ def batch_sharding(mesh: Mesh, batch) -> dict:
             for k, v in batch.items()}
 
 
+def put_global_batch(batch, mesh: Mesh) -> dict:
+    """Transfer a host-local batch onto the mesh's data axis.
+
+    Single-process: a plain sharded device_put. Multi-host pods: each host
+    holds only its shard (Loader shard_id/num_shards), so the global array
+    assembles via make_array_from_process_local_data — the per-host data
+    sharding of SURVEY.md SS3.2.
+    """
+    shardings = batch_sharding(mesh, batch)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(shardings[k], v)
+                for k, v in batch.items()}
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

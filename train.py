@@ -33,6 +33,11 @@ def main(argv=None):
     from pcgan_tpu.utils.metrics import MetricsLogger, StepTimer
     from pcgan_tpu.utils import checkpoint as ckpt
 
+    if cfg.run.debug_nans:
+        # numerics sanitizer (SURVEY.md SS6 race/sanitizer row): any NaN
+        # produced inside jitted code raises with the offending primitive
+        jax.config.update("jax_debug_nans", True)
+
     run_dir = os.path.join(cfg.run.checkpoints_dir, cfg.run.name)
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "opt.json"))   # reference dumps opt.txt
@@ -46,10 +51,16 @@ def main(argv=None):
                          f"mesh data axis {n_dev}")
 
     ds = data_loader.create_dataset(cfg, train=True)
-    ld = data_loader.Loader(ds, cfg.data.batch_size,
+    n_proc = jax.process_count()
+    if cfg.data.batch_size % max(1, n_proc):
+        raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
+                         f"process count {n_proc}")
+    ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
                             shuffle=not cfg.data.serial_batches,
                             num_threads=cfg.data.num_threads,
-                            seed=cfg.train.seed)
+                            seed=cfg.train.seed,
+                            shard_id=jax.process_index(),
+                            num_shards=n_proc)
     steps_per_epoch = max(1, len(ld))
     print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
           f"{steps_per_epoch} steps/epoch", flush=True)
@@ -67,14 +78,12 @@ def _epoch_iter(cfg, ld, mesh):
     """One epoch of mesh-sharded raw batches, decoded + transferred on a
     background thread so host IO overlaps device compute (SURVEY.md SS4.1:
     the decode path is the reference's throughput ceiling)."""
-    import jax
     from pcgan_tpu.data.loader import device_prefetch, with_bins
-    from pcgan_tpu.parallel.mesh import batch_sharding
+    from pcgan_tpu.parallel.mesh import put_global_batch
 
     def shard_puts(it):
         for b in it:
-            shard = batch_sharding(mesh, b)
-            yield {k: jax.device_put(v, shard[k]) for k, v in b.items()}
+            yield put_global_batch(b, mesh)
 
     it = shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
                               cfg.data.max_age))
@@ -124,6 +133,26 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     t = cfg.train
     display = _make_display(cfg, G, run_dir)
     profiling = {"active": False, "left": cfg.run.profile_steps, "skip": 3}
+    fid_eval = None
+    if t.eval_fid_epoch_freq > 0:
+        from pcgan_tpu.data.loader import Loader, with_bins
+        from pcgan_tpu.eval_lib import load_comparator_bundle, make_fid_evaluator
+        cmp_bundle = (C, c_vars, state.bin_lo, state.bin_hi) if C else None
+        run_fid = make_fid_evaluator(cfg, G, cmp_bundle)
+        eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
+                         num_threads=cfg.data.num_threads)
+
+        def fid_eval(state, epoch):
+            g_vars = {"params": state.g_params, **state.g_state}
+            rec = run_fid(
+                g_vars,
+                with_bins(iter(eval_ld), cfg.data.n_age_bins,
+                          cfg.data.max_age),
+                max_images=t.eval_fid_images, seed=t.seed)
+            logger.log(int(state.step),
+                       {("eval_" + k): float(v) for k, v in rec.items()},
+                       epoch=epoch)
+
     gstep = int(state.step)
     for epoch in range(t.epoch_count, total_epochs + 1):
         epoch_t0 = time.time()
@@ -159,6 +188,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
             ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
                                 "latest")
+        if fid_eval is not None and epoch % t.eval_fid_epoch_freq == 0:
+            fid_eval(state, epoch)
         print(f"End of epoch {epoch}/{total_epochs} \t "
               f"({time.time() - epoch_t0:.1f}s)", flush=True)
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
@@ -301,11 +332,9 @@ def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
 
 
 def _shard_iter(ld, mesh):
-    import jax
-    from pcgan_tpu.parallel.mesh import batch_sharding
+    from pcgan_tpu.parallel.mesh import put_global_batch
     for b in iter(ld):
-        shard = batch_sharding(mesh, b)
-        yield {k: jax.device_put(v, shard[k]) for k, v in b.items()}
+        yield put_global_batch(b, mesh)
 
 
 def _load_comparator(cfg):
