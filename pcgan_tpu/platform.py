@@ -10,6 +10,21 @@ Entry points call :func:`respect_env_platform` first so
 from __future__ import annotations
 
 import os
+import re
+
+
+def _forced_cpu_count() -> int:
+    m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    return int(m.group(1)) if m else 0
+
+
+def _backends_initialized() -> bool:
+    try:
+        from jax._src import xla_bridge
+        return bool(getattr(xla_bridge, "_backends", None))
+    except Exception:
+        return True  # assume live; stay conservative
 
 
 def respect_env_platform() -> None:
@@ -17,16 +32,34 @@ def respect_env_platform() -> None:
     if not plat:
         return
     import jax
-    try:
-        # compare against the ACTIVE backend, not the config string: a
-        # config.update resets backends, and a re-created CPU client loses
-        # --xla_force_host_platform_device_count (observed: 8 -> 1 devices),
-        # so never reset when the right platform is already live.
-        current = jax.default_backend()
-    except Exception:
-        current = None
     want = plat.split(",")[0]
-    # axon devices report platform 'tpu'
-    aliases = {"axon": "tpu"}
+    if not _backends_initialized():
+        # cheapest moment: config updates before first backend init are free
+        # and the first client creation honors XLA_FLAGS / num_cpu_devices
+        n = _forced_cpu_count()
+        if want == "cpu" and n > 1:
+            jax.config.update("jax_num_cpu_devices", n)
+        jax.config.update("jax_platforms", plat)
+        return
+    # backends already live: compare against the ACTIVE backend — a reset
+    # re-creates clients that do NOT re-read XLA_FLAGS (observed 8 -> 1
+    # devices), so only reset when the platform genuinely differs.
+    current = jax.default_backend()
+    aliases = {"axon": "tpu"}   # axon devices report platform 'tpu'
     if aliases.get(current, current) != aliases.get(want, want):
         jax.config.update("jax_platforms", plat)
+
+
+def ensure_cpu_devices(n: int) -> None:
+    """Best-effort guarantee of >= n virtual CPU devices (driver dryrun
+    contract). Must run before any JAX operation to take effect."""
+    import jax
+    if not _backends_initialized():
+        jax.config.update("jax_num_cpu_devices", max(n, _forced_cpu_count(), 1))
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= n:
+        return
+    # backends live with too few devices: a platforms reset is the only
+    # lever left (may still yield 1 device if XLA_FLAGS was consumed)
+    jax.config.update("jax_platforms", "cpu")
