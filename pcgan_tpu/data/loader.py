@@ -141,13 +141,15 @@ def device_prefetch(it: Iterator[Dict], size: int = 2,
         return
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def producer():
         try:
             for b in it:
                 q.put(put(b))
-        finally:
             q.put(_END)
+        except BaseException as e:  # re-raise in the consumer, never swallow
+            q.put((_ERR, e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -155,4 +157,6 @@ def device_prefetch(it: Iterator[Dict], size: int = 2,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item

@@ -29,6 +29,12 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
     feature_fn, d = fid_ops.make_feature_fn(cfg.data.crop_size,
                                             cfg.data.output_nc)
     pre = make_preprocess(cfg, train=False)
+    if comparator is not None:
+        # accept host (numpy) snapshots — callers pass device_get copies so
+        # donated train-state buffers are never captured
+        C, c_vars, lo, hi = comparator
+        comparator = (C, jax.tree.map(jnp.asarray, c_vars),
+                      jnp.asarray(lo), jnp.asarray(hi))
 
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n):

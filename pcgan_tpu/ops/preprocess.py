@@ -150,7 +150,9 @@ def make_preprocess(cfg, train: bool = True):
     d = cfg.data
     mode = d.preprocess
     load = d.load_size if "resize" in mode or mode == "scale_width" else None
-    crop = d.crop_size if "crop" in mode else (load or d.crop_size)
+    # no 'crop' in the mode -> output the resized size (or, for 'none', the
+    # native size: crop=None resolves to the incoming image size below)
+    crop = d.crop_size if "crop" in mode else load
     out_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     use_pallas = bool(d.pallas_pipeline) and _on_tpu()
@@ -161,7 +163,8 @@ def make_preprocess(cfg, train: bool = True):
         imgs = raw["image"]
         b = imgs.shape[0]
         eff_load = load or imgs.shape[1]
-        span = eff_load - crop
+        eff_crop = crop or eff_load
+        span = eff_load - eff_crop
         if train and span > 0:
             r1, r2, r3 = jax.random.split(rng, 3)
             cy = jax.random.randint(r1, (b,), 0, span + 1)
@@ -177,11 +180,11 @@ def make_preprocess(cfg, train: bool = True):
         out = {k: v for k, v in raw.items() if k != "image"}
         if use_pallas:
             out["image"] = pallas_preprocess_batch(
-                imgs, cy, cx, fl.astype(jnp.int32), eff_load, crop,
+                imgs, cy, cx, fl.astype(jnp.int32), eff_load, eff_crop,
                 out_dtype=out_dtype)
         else:
-            out["image"] = preprocess_batch(imgs, cy, cx, fl, eff_load, crop,
-                                            out_dtype=out_dtype)
+            out["image"] = preprocess_batch(imgs, cy, cx, fl, eff_load,
+                                            eff_crop, out_dtype=out_dtype)
         return out
 
     return fn

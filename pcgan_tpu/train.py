@@ -208,18 +208,22 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         new_pool, fake_d, cond_fake_d = image_pool.query(
             state.pool, fake_det, cond_target, r_pool)
 
-        def d_apply(d_params, x, cond):
-            variables = {"params": d_params, **state.d_state}
-            if state.d_state:
+        def d_apply(d_params, x, cond, d_state=None):
+            d_state = state.d_state if d_state is None else d_state
+            variables = {"params": d_params, **d_state}
+            if d_state:
                 logits, new_state = D.apply(variables, x, cond, train=True,
-                                            mutable=list(state.d_state))
+                                            mutable=list(d_state))
                 return logits, new_state
-            return D.apply(variables, x, cond, train=True), state.d_state
+            return D.apply(variables, x, cond, train=True), d_state
 
         def d_loss_fn(d_params):
+            # running stats chain through both passes (torch updates them on
+            # every forward): real pass feeds ds1 into the fake pass
             pred_real, ds1 = d_apply(d_params, real, cond_real)
             pred_fake, ds2 = d_apply(d_params, fake_d.astype(compute_dtype),
-                                     cond_fake_d.astype(compute_dtype))
+                                     cond_fake_d.astype(compute_dtype),
+                                     d_state=ds1)
             l_real = gan_loss(pred_real, True, t.gan_mode)
             l_fake = gan_loss(pred_fake, False, t.gan_mode)
             loss = 0.5 * (l_real + l_fake)
@@ -361,15 +365,27 @@ def compute_bin_anchors(C, c_vars, images: jnp.ndarray, bins: jnp.ndarray,
     the frozen comparator 'sorts' data; bin anchors drive the GAN cond loss).
 
     Returns (lo, hi) of shape (n_bins,): mean-score midpoints between
-    adjacent bins, so each bin's interval tiles the score axis.
+    adjacent bins, so each bin's interval tiles the score axis. Host-side
+    (called once after pretraining). Empty bins — common at the age extremes
+    of a small anchor subset — are filled by linear interpolation /
+    edge-extension over bin index instead of a spurious 0 mean.
     """
-    mu, _ = C.apply(c_vars, images, train=False)
-    one = bin_to_onehot(bins, n_bins)                       # (N, nb)
-    counts = jnp.maximum(one.sum(0), 1e-6)
-    means = (one * mu[:, None]).sum(0) / counts             # (nb,)
+    import numpy as np
+    mu = np.asarray(C.apply(c_vars, images, train=False)[0], np.float64)
+    b = np.asarray(bins)
+    means = np.full(n_bins, np.nan)
+    for k in range(n_bins):
+        sel = b == k
+        if sel.any():
+            means[k] = mu[sel].mean()
+    if np.isnan(means).all():
+        raise ValueError("no anchor images fell into any bin")
+    idx = np.arange(n_bins, dtype=np.float64)
+    ok = ~np.isnan(means)
+    means = np.interp(idx, idx[ok], means[ok])   # fill gaps + extend edges
     # enforce monotonicity for degenerate comparators, then tile intervals
-    means = jnp.sort(means)
+    means = np.sort(means)
     mid = 0.5 * (means[1:] + means[:-1])
-    lo = jnp.concatenate([jnp.array([-1e30]), mid])
-    hi = jnp.concatenate([mid, jnp.array([1e30])])
-    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+    lo = np.concatenate([[-1e30], mid])
+    hi = np.concatenate([mid, [1e30]])
+    return jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)

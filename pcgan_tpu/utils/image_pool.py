@@ -60,10 +60,14 @@ def query(state: PoolState, fakes: jnp.ndarray, conds: jnp.ndarray,
     warm = pos < p                                    # still filling this slot
     rand_idx = jax.random.randint(r_slot, (b,), 0, p)
     swap = jax.random.bernoulli(r_swap, 0.5, (b,))
+    # only swap against slots written BEFORE this batch — at the warm-up
+    # boundary (count < p but count + b > p) unwritten slots are zeros and
+    # must never reach the discriminator
+    can_swap = rand_idx < state.count
 
     write_idx = jnp.where(warm, jnp.clip(pos, 0, p - 1), rand_idx)
-    do_write = (warm | swap) & ~disabled
-    use_history = swap & ~warm & ~disabled            # return evicted entry
+    do_write = (warm | (swap & can_swap)) & ~disabled
+    use_history = swap & can_swap & ~warm & ~disabled  # return evicted entry
 
     old_imgs = state.imgs[write_idx]
     old_conds = state.conds[write_idx]

@@ -13,8 +13,10 @@ parameters in architectural order, verifying shapes at every pair:
                                               (flip happens at apply time —
                                                see models/layers.py)
 
-InstanceNorm(affine=False) contributes no tensors on either side; BatchNorm
-scale/bias/running stats map by the same ordered walk.
+InstanceNorm(affine=False) — the reference family's default norm —
+contributes no tensors on either side. BatchNorm checkpoints (1-D
+scale/bias + running stats) are NOT yet importable; the importer detects
+them and raises rather than silently dropping them.
 
 Per-pixel output parity torch-vs-flax is tested in tests/test_pth_import.py.
 """
@@ -118,6 +120,15 @@ def import_generator_pth(state_dict, flax_params: Dict, netG: str,
     layers we don't model — a shape mismatch raises with a precise message).
     """
     order = generator_order(netG, cond_inject)
+    norm_keys = [k for k in state_dict
+                 if k.endswith(("running_mean", "running_var"))
+                 or (k.endswith(".weight")
+                     and getattr(state_dict[k], "ndim", 4) == 1)]
+    if norm_keys:
+        raise NotImplementedError(
+            f"checkpoint contains affine-norm/BatchNorm tensors "
+            f"({norm_keys[:3]}...) — only instance-norm (parameterless) "
+            f"generators are importable so far")
     tensors = _ordered_conv_tensors(state_dict)
     if len(tensors) != len(order):
         raise ValueError(

@@ -9,7 +9,7 @@ python train.py \
   --load_size 143 --crop_size 128 --batch_size 32 \
   --n_age_bins 10 --gan_mode lsgan \
   --lambda_L1 100 --lambda_cond 10 \
-  --comparator_path "${COMPARATOR:-./checkpoints/cmp_utk/cmp_utk/comparator}" \
+  --comparator_path "${COMPARATOR:-./checkpoints/cmp_utk/comparator}" \
   --niter 100 --niter_decay 100 --lr 0.0002 --beta1 0.5 \
   --pool_size 64 --print_freq 100 --save_epoch_freq 5 \
   --mesh_shape 1 "$@"

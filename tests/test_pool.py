@@ -38,6 +38,22 @@ def test_full_pool_mixes_history():
     assert seen_history
 
 
+def test_warm_boundary_never_returns_unwritten_slots():
+    """count < P but count + B > P: swaps must only hit slots written in
+    PREVIOUS steps — never the zero-initialized tail (review finding)."""
+    pool = init_pool(6, (1, 1, 1), 1)
+    ones = jnp.ones((4, 1, 1, 1))
+    pool, out, _ = query(pool, ones, jnp.ones((4, 1)), jax.random.PRNGKey(0))
+    assert int(pool.count) == 4
+    twos = 2 * jnp.ones((4, 1, 1, 1))
+    # boundary step: positions 4..7, slots 4,5 warm; 6,7 beyond capacity
+    for seed in range(20):
+        p2, out, _ = query(pool, twos, jnp.ones((4, 1)),
+                           jax.random.PRNGKey(seed))
+        vals = set(np.unique(np.asarray(out)).tolist())
+        assert 0.0 not in vals, f"returned unwritten zero slot (seed {seed})"
+
+
 def test_disabled_pool_is_identity():
     pool = init_pool(0, (2, 2, 1), 1)
     fakes = 3 * jnp.ones((2, 2, 2, 1))

@@ -130,6 +130,21 @@ def test_comparator_learns_ordering():
     assert np.mean(accs[-20:]) > 0.65, np.mean(accs[-20:])
 
 
+def test_bin_anchors_handle_empty_bins():
+    """Empty bins at the extremes must interpolate, not inject a bogus 0
+    mean into the sorted anchor sequence (review finding)."""
+    cfg = tiny_cfg()
+    C = define_C(cfg)
+    c_vars = init_params(C, jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3)))
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (12, 32, 32, 3)) * 2 - 1
+    bins = jnp.asarray(np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 2, 2, 2]))  # bin 3 empty
+    lo, hi = compute_bin_anchors(C, c_vars, imgs, bins, 4)
+    assert lo.shape == (4,) and hi.shape == (4,)
+    # intervals tile the axis monotonically
+    assert bool(jnp.all(lo[1:] == hi[:-1]))
+    assert bool(jnp.all(hi > lo))
+
+
 def test_lr_schedules():
     cfg = tiny_cfg(niter=2, niter_decay=2, lr=1.0, lr_policy="linear")
     sched = make_lr_schedule(cfg, steps_per_epoch=10)

@@ -43,12 +43,12 @@ def main(argv=None):
     cfg.save(os.path.join(run_dir, "opt.json"))   # reference dumps opt.txt
 
     mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
-    n_dev = mesh.devices.size
-    print(f"devices: {n_dev} ({jax.devices()[0].platform}), mesh "
+    print(f"devices: {mesh.devices.size} ({jax.devices()[0].platform}), mesh "
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
-    if cfg.data.batch_size % n_dev:
+    n_data = mesh.shape.get("data", 1)
+    if cfg.data.batch_size % n_data:
         raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
-                         f"mesh data axis {n_dev}")
+                         f"the mesh data axis ({n_data})")
 
     ds = data_loader.create_dataset(cfg, train=True)
     n_proc = jax.process_count()
@@ -136,8 +136,12 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     fid_eval = None
     if t.eval_fid_epoch_freq > 0:
         from pcgan_tpu.data.loader import Loader, with_bins
-        from pcgan_tpu.eval_lib import load_comparator_bundle, make_fid_evaluator
-        cmp_bundle = (C, c_vars, state.bin_lo, state.bin_hi) if C else None
+        from pcgan_tpu.eval_lib import make_fid_evaluator
+        # host snapshots: the train step DONATES its state buffers, so any
+        # device array captured here would be deleted after the first step
+        cmp_bundle = (C, jax.device_get(c_vars),
+                      jax.device_get(state.bin_lo),
+                      jax.device_get(state.bin_hi)) if C else None
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle)
         eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
                          num_threads=cfg.data.num_threads)
@@ -339,22 +343,9 @@ def _shard_iter(ld, mesh):
 
 def _load_comparator(cfg):
     """comparator_path: checkpoints-style dir saved by `--model comparator`."""
-    import jax
-    from pcgan_tpu.models import define_C
-    from pcgan_tpu.train import create_comparator_state
-    from pcgan_tpu.utils import checkpoint as ckpt
-    import orbax.checkpoint as ocp
-
-    C = define_C(cfg)
-    ex = create_comparator_state(cfg, C, jax.random.PRNGKey(0), 1)
-    target = {"c_vars": {"params": ex.params, **ex.state},
-              "bin_lo": jax.numpy.zeros(cfg.data.n_age_bins),
-              "bin_hi": jax.numpy.zeros(cfg.data.n_age_bins)}
-    c = ocp.StandardCheckpointer()
-    restored = c.restore(
-        os.path.abspath(cfg.train.comparator_path),
-        target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
-    return restored["c_vars"], (restored["bin_lo"], restored["bin_hi"])
+    from pcgan_tpu.eval_lib import load_comparator_bundle
+    _, c_vars, lo, hi = load_comparator_bundle(cfg)
+    return c_vars, (lo, hi)
 
 
 if __name__ == "__main__":
