@@ -36,7 +36,7 @@ def make_batch(rng, cfg):
     }
 
 
-@pytest.mark.parametrize("gan_mode", ["lsgan", "vanilla", "hinge"])
+@pytest.mark.parametrize("gan_mode", ["lsgan", "vanilla", "hinge", "wgangp"])
 def test_step_runs_and_params_move(gan_mode):
     cfg = tiny_cfg(gan_mode=gan_mode)
     G, D = define_G(cfg), define_D(cfg)
