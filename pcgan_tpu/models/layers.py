@@ -167,9 +167,11 @@ class TorchConvTranspose(nn.Module):
 
 
 class ResizeConv(nn.Module):
-    """Nearest-resize + 3x3 conv upsampling — documented NON-parity fast path
-    (SURVEY.md SS7 'hard parts': removes checkerboarding, friendlier XLA
-    layouts at 256px). Selected with ``netG=...@resize_conv`` variants.
+    """Nearest-resize + 3x3 conv upsampling — documented NON-parity QUALITY
+    variant (removes deconv checkerboarding; SURVEY.md SS7 'hard parts').
+    Measured SLOWER than the dilated-deconv lowering on v5e (483 vs 586
+    imgs/s/chip at 128px: a full-resolution 3x3 conv does ~4x the effective
+    taps of the transposed conv). Selected with ``netG=...@resize_conv``.
     """
 
     features: int

@@ -58,11 +58,8 @@ def main(argv=None):
                           dtype="float32"),
         train=TrainConfig(comparator_path=args.comparator_path))
 
-    import train as train_cli
-    C_tuple = train_cli._load_comparator(cfg)
-    c_vars, (lo, hi) = C_tuple
-    from pcgan_tpu.models import define_C
-    C = define_C(cfg)
+    from pcgan_tpu.eval_lib import load_comparator_bundle
+    C, c_vars, lo, hi = load_comparator_bundle(cfg)
 
     ds = UTKFaceDataset(args.dataroot, require_age=False)
     ld = Loader(ds, args.batch_size, shuffle=False, drop_last=False,
