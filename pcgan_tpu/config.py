@@ -284,8 +284,9 @@ def parse_config(argv=None, is_train: bool = True) -> Config:
         sections["parallel"]["mesh_shape"] = tuple(
             int(x) for x in args.mesh_shape.split(","))
         n = len(sections["parallel"]["mesh_shape"])
-        sections["parallel"]["mesh_axes"] = tuple(
-            ["data", "model", "spatial"][:n])
+        # this workload's axes are data (+ optional spatial for 256px
+        # activation sharding); no model axis exists (SURVEY.md SS3.1)
+        sections["parallel"]["mesh_axes"] = tuple(["data", "spatial"][:n])
     sections["run"]["isTrain"] = is_train
     if not is_train:
         sections["run"].setdefault("phase", "test")

@@ -123,10 +123,22 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
                              cfg.run.epoch)
         print(f"resumed from step {int(state.step)}", flush=True)
-    state = shard_train_state(state, mesh)
-
-    step_fn = make_parallel_train_step(cfg, G, D, C, steps_per_epoch,
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    if spatial:
+        # data x spatial mesh: GSPMD-partitioned step (XLA inserts conv halo
+        # exchanges; parallel/auto.py) — used when 256px activations need
+        # H-dim sharding. Pool runs global/replicated on this path.
+        from pcgan_tpu.parallel.auto import (make_auto_train_step,
+                                             place_auto_state)
+        state = place_auto_state(state, mesh)
+        step_fn = make_auto_train_step(cfg, G, D, C, steps_per_epoch,
                                        mesh=mesh)
+        print(f"GSPMD data x spatial step "
+              f"({mesh.shape['data']}x{mesh.shape['spatial']})", flush=True)
+    else:
+        state = shard_train_state(state, mesh)
+        step_fn = make_parallel_train_step(cfg, G, D, C, steps_per_epoch,
+                                           mesh=mesh)
     sched = make_lr_schedule(cfg, steps_per_epoch)
     timer = StepTimer()
     total_epochs = cfg.train.niter + cfg.train.niter_decay
