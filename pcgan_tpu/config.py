@@ -265,10 +265,17 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
             typ = type(default) if default is not None else str
             p.add_argument(f"--{flag}", type=typ, default=None)
     p.add_argument("--mesh_shape", type=str, default=None,
-                   help="comma-separated mesh, e.g. '8' or '4,2'; -1 = all devices")
-    p.add_argument("--gpu_ids", type=str, default=None,
-                   help="accepted for reference CLI compatibility; ignored "
-                        "(device placement is mesh-driven on TPU)")
+                   help="comma-separated mesh, e.g. '8' or '4,2' "
+                        "(axes data[,spatial]); -1 = all devices")
+    # reference-CLI compatibility: accepted and ignored (visdom/display-server
+    # and torch-device options have no TPU equivalent; noted in README)
+    for ignored in ("gpu_ids", "display_id", "display_port", "display_server",
+                    "display_env", "display_winsize", "update_html_freq",
+                    "suffix", "load_iter", "ntest", "aspect_ratio"):
+        p.add_argument(f"--{ignored}", type=str, default=None,
+                       help="accepted for reference CLI compatibility; ignored")
+    p.add_argument("--no_html", action="store_true", default=None,
+                   help="accepted for reference CLI compatibility; ignored")
     return p
 
 
