@@ -35,31 +35,36 @@ def conv_norm_relu(cin, cout, k, s, p, leaky=False, norm=True):
 
 
 class ResBlock(nn.Module):
-    def __init__(self, dim):
+    def __init__(self, dim, norm=nn.InstanceNorm2d, bias=True):
         super().__init__()
         self.block = nn.Sequential(
-            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3),
-            nn.InstanceNorm2d(dim), nn.ReLU(True),
-            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3),
-            nn.InstanceNorm2d(dim))
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=bias),
+            norm(dim), nn.ReLU(True),
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=bias),
+            norm(dim))
 
     def forward(self, x):
         return x + self.block(x)
 
 
 class ResnetG(nn.Module):
-    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9):
+    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, batchnorm=False):
         super().__init__()
-        layers = [nn.ReflectionPad2d(3), nn.Conv2d(in_nc, ngf, 7),
-                  nn.InstanceNorm2d(ngf), nn.ReLU(True)]
-        layers += conv_norm_relu(ngf, ngf * 2, 3, 2, 1)
-        layers += conv_norm_relu(ngf * 2, ngf * 4, 3, 2, 1)
-        layers += [ResBlock(ngf * 4) for _ in range(n_blocks)]
-        layers += [nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, 1),
-                   nn.InstanceNorm2d(ngf * 2), nn.ReLU(True),
-                   nn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, 1),
-                   nn.InstanceNorm2d(ngf), nn.ReLU(True),
-                   nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7), nn.Tanh()]
+        norm = nn.BatchNorm2d if batchnorm else nn.InstanceNorm2d
+        bias = not batchnorm          # template: no conv bias under affine BN
+        layers = [nn.ReflectionPad2d(3), nn.Conv2d(in_nc, ngf, 7, bias=bias),
+                  norm(ngf), nn.ReLU(True),
+                  nn.Conv2d(ngf, ngf * 2, 3, 2, 1, bias=bias), norm(ngf * 2),
+                  nn.ReLU(True),
+                  nn.Conv2d(ngf * 2, ngf * 4, 3, 2, 1, bias=bias),
+                  norm(ngf * 4), nn.ReLU(True)]
+        layers += [ResBlock(ngf * 4, norm, bias) for _ in range(n_blocks)]
+        layers += [nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, 1, bias=bias),
+                   norm(ngf * 2), nn.ReLU(True),
+                   nn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, 1, bias=bias),
+                   norm(ngf), nn.ReLU(True),
+                   nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7),
+                   nn.Tanh()]
         self.net = nn.Sequential(*layers)
 
     def forward(self, x):

@@ -127,6 +127,7 @@ class RunConfig:
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
     debug_nans: bool = False         # jax nan-checking (SURVEY.md SS6 sanitizers)
+    checkify: bool = False           # checkify float checks on the train step
 
 
 @dataclass(frozen=True)
@@ -229,6 +230,7 @@ _FLAG_MAP = {
     "eval": ("run", "eval"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
+    "checkify": ("run", "checkify"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
 }

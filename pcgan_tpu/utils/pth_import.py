@@ -14,11 +14,13 @@ parameters in architectural order, verifying shapes at every pair:
                                                see models/layers.py)
 
 InstanceNorm(affine=False) — the reference family's default norm —
-contributes no tensors on either side. BatchNorm checkpoints (1-D
-scale/bias + running stats) are NOT yet importable; the importer detects
-them and raises rather than silently dropping them.
+contributes no tensors on either side. BatchNorm checkpoints map their
+scale/bias/running stats by the same ordered walk (torch weight->scale,
+bias->bias, running_mean/var -> flax batch_stats mean/var); pass the FULL
+variables dict so batch_stats can be populated.
 
-Per-pixel output parity torch-vs-flax is tested in tests/test_pth_import.py.
+Per-pixel output parity torch-vs-flax is tested in tests/test_pth_import.py
+for both norms.
 """
 
 from __future__ import annotations
@@ -37,18 +39,23 @@ import jax.numpy as jnp
 def resnet_generator_order(n_blocks: int, n_downsampling: int = 2,
                            cond_inject: str = "input") -> List[Tuple[Tuple[str, ...], str]]:
     """Ordered (flax param path, kind) list; kind in {conv, deconv}."""
-    order: List[Tuple[Tuple[str, ...], str]] = [(("TorchConv_0",), "conv")]
+    order: List[Tuple[Tuple[str, ...], str]] = [
+        (("TorchConv_0",), "conv"), (("Norm_0",), "norm")]
     for i in range(n_downsampling):
         order.append(((f"TorchConv_{i + 1}",), "conv"))
+        order.append(((f"Norm_{i + 1}",), "norm"))
     extra = 0
     if cond_inject == "bottleneck":
         order.append(((f"TorchConv_{n_downsampling + 1}",), "conv"))
         extra = 1
     for b in range(n_blocks):
         order.append(((f"ResnetBlock_{b}", "TorchConv_0"), "conv"))
+        order.append(((f"ResnetBlock_{b}", "Norm_0"), "norm"))
         order.append(((f"ResnetBlock_{b}", "TorchConv_1"), "conv"))
+        order.append(((f"ResnetBlock_{b}", "Norm_1"), "norm"))
     for i in range(n_downsampling):
         order.append(((f"TorchConvTranspose_{i}",), "deconv"))
+        order.append(((f"Norm_{n_downsampling + 1 + i}",), "norm"))
     order.append(((f"TorchConv_{n_downsampling + 1 + extra}",), "conv"))
     return order
 
@@ -68,9 +75,16 @@ def unet_generator_order(num_downs: int) -> List[Tuple[Tuple[str, ...], str]]:
     order: List[Tuple[Tuple[str, ...], str]] = []
     for blk in range(n - 1, -1, -1):                     # downs: outer -> inner
         order.append(((f"UnetSkipBlock_{blk}", "TorchConv_0"), "conv"))
+        if 0 < blk < n - 1:  # mid levels have a down-norm (flax Norm_0)
+            order.append(((f"UnetSkipBlock_{blk}", "Norm_0"), "norm"))
     for blk in range(n):                                 # ups: inner -> outer
         order.append(((f"UnetSkipBlock_{blk}", "TorchConvTranspose_0"),
                       "deconv"))
+        if blk < n - 1:      # all but outermost have an up-norm
+            # innermost has no down-norm, so its up-norm is flax Norm_0;
+            # mid levels' up-norm is Norm_1
+            up_norm = "Norm_0" if blk == 0 else "Norm_1"
+            order.append(((f"UnetSkipBlock_{blk}", up_norm), "norm"))
     return order
 
 
@@ -91,59 +105,79 @@ def generator_order(netG: str, cond_inject: str = "input"):
 # --------------------------------------------------------------------------- #
 
 
-def _ordered_conv_tensors(state_dict) -> List[Tuple[str, np.ndarray, np.ndarray]]:
-    """(name, weight, bias_or_None) for each 4-D weight, in dict order."""
-    out = []
-    keys = list(state_dict.keys())
-    for k in keys:
-        if k.endswith(".weight") or k == "weight":
-            w = np.asarray(state_dict[k].detach().cpu().numpy()
-                           if hasattr(state_dict[k], "detach")
-                           else state_dict[k])
-            if w.ndim != 4:
-                continue
-            bkey = k[:-len("weight")] + "bias"
-            b = state_dict.get(bkey)
-            if b is not None:
-                b = np.asarray(b.detach().cpu().numpy()
-                               if hasattr(b, "detach") else b)
-            out.append((k, w, b))
-    return out
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
-def import_generator_pth(state_dict, flax_params: Dict, netG: str,
-                         cond_inject: str = "input") -> Dict:
-    """Returns a new flax params tree with weights imported from state_dict.
-
-    `flax_params` is the target G's ``variables['params']`` (for shapes and
-    as the template for anything not covered, e.g. when the reference adds
-    layers we don't model — a shape mismatch raises with a precise message).
+def _ordered_units(state_dict):
+    """Walk the state_dict in registration order; group into
+    (convs: [(name, w4d, bias|None)], norms: [(prefix, {weight,bias,mean,var})]).
     """
-    order = generator_order(netG, cond_inject)
-    norm_keys = [k for k in state_dict
-                 if k.endswith(("running_mean", "running_var"))
-                 or (k.endswith(".weight")
-                     and getattr(state_dict[k], "ndim", 4) == 1)]
-    if norm_keys:
-        raise NotImplementedError(
-            f"checkpoint contains affine-norm/BatchNorm tensors "
-            f"({norm_keys[:3]}...) — only instance-norm (parameterless) "
-            f"generators are importable so far")
-    tensors = _ordered_conv_tensors(state_dict)
-    if len(tensors) != len(order):
-        raise ValueError(
-            f"conv-tensor count mismatch: checkpoint has {len(tensors)}, "
-            f"architecture [{netG}] expects {len(order)} "
-            f"({[t[0] for t in tensors]})")
+    convs, norms = [], []
+    conv_prefixes = {k.rpartition(".")[0] for k in state_dict
+                     if (k.endswith(".weight") or k == "weight")
+                     and _np(state_dict[k]).ndim == 4}
+    norm_groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for k in state_dict.keys():
+        v = _np(state_dict[k])
+        prefix, _, field = k.rpartition(".")
+        if (k.endswith(".weight") or k == "weight") and v.ndim == 4:
+            b = state_dict.get(k[:-len("weight")] + "bias")
+            convs.append((k, v, None if b is None else _np(b)))
+        elif (k.endswith((".weight", ".bias", ".running_mean",
+                          ".running_var")) and v.ndim == 1
+              and prefix not in conv_prefixes):   # conv biases aren't norms
+            g = norm_groups.setdefault(prefix, {})
+            g[field.replace("running_", "")] = v
+            if len(g) == 1:
+                norms.append((prefix, g))   # preserve first-seen order
+    return convs, norms
 
-    new = _copy_tree(flax_params)
-    for (path, kind), (tname, w, b) in zip(order, tensors):
-        node = new
+
+def import_generator_pth(state_dict, flax_variables: Dict, netG: str,
+                         cond_inject: str = "input") -> Dict:
+    """Returns new flax variables with weights imported from state_dict.
+
+    `flax_variables` is the target G's full ``variables`` dict — or just its
+    ``['params']`` tree for instance-norm checkpoints (back-compat). Conv
+    kernels and (when present) BatchNorm scale/bias/running stats are matched
+    by architectural order; shape/count mismatches raise precisely.
+    """
+    params_only = "params" not in flax_variables
+    variables = ({"params": flax_variables} if params_only
+                 else flax_variables)
+    order = generator_order(netG, cond_inject)
+    conv_order = [o for o in order if o[1] in ("conv", "deconv")]
+    norm_order = [o for o in order if o[1] == "norm"]
+    convs, norms = _ordered_units(state_dict)
+    if len(convs) != len(conv_order):
+        raise ValueError(
+            f"conv-tensor count mismatch: checkpoint has {len(convs)}, "
+            f"architecture [{netG}] expects {len(conv_order)} "
+            f"({[t[0] for t in convs]})")
+    if norms and len(norms) != len(norm_order):
+        raise ValueError(
+            f"norm-tensor count mismatch: checkpoint has {len(norms)} "
+            f"affine norms, architecture [{netG}] has {len(norm_order)} "
+            f"norm sites — mixed/partial-affine checkpoints unsupported")
+    if norms and params_only:
+        raise ValueError("BatchNorm checkpoint needs the FULL variables "
+                         "dict (params + batch_stats), not just params")
+
+    new_params = _copy_tree(variables["params"])
+    new_stats = _copy_tree(variables.get("batch_stats", {}))
+
+    def node_at(tree, path, tname):
+        node = tree
         for p in path:
             if p not in node:
-                raise KeyError(f"flax param path {path} missing at {p} "
-                               f"(have {list(node)})")
+                raise KeyError(f"flax path {'/'.join(path)} missing at {p} "
+                               f"<- {tname} (have {list(node)})")
             node = node[p]
+        return node
+
+    for (path, kind), (tname, w, b) in zip(conv_order, convs):
+        node = node_at(new_params, path, tname)
         if kind == "conv":
             wt = w.transpose(2, 3, 1, 0)         # (co,ci,kh,kw)->(kh,kw,ci,co)
         else:
@@ -158,7 +192,26 @@ def import_generator_pth(state_dict, flax_params: Dict, netG: str,
                 raise ValueError(f"{'/'.join(path)}: torch has bias, flax "
                                  f"module built without")
             node["bias"] = jnp.asarray(b, jnp.float32)
-    return new
+
+    for (path, _), (prefix, g) in zip(norm_order, norms):
+        bn_path = path + ("BatchNorm_0",)
+        pnode = node_at(new_params, bn_path, prefix)
+        snode = node_at(new_stats, bn_path, prefix)
+        if pnode["scale"].shape != g["weight"].shape:
+            raise ValueError(f"norm shape mismatch at {'/'.join(bn_path)} "
+                             f"<- {prefix}")
+        pnode["scale"] = jnp.asarray(g["weight"], jnp.float32)
+        pnode["bias"] = jnp.asarray(g["bias"], jnp.float32)
+        snode["mean"] = jnp.asarray(g["mean"], jnp.float32)
+        snode["var"] = jnp.asarray(g["var"], jnp.float32)
+
+    if params_only:
+        return new_params
+    out = dict(variables)
+    out["params"] = new_params
+    if norms:
+        out["batch_stats"] = new_stats
+    return out
 
 
 def _copy_tree(t):
