@@ -126,8 +126,11 @@ class RunConfig:
     verbose: bool = False
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
-    debug_nans: bool = False         # jax nan-checking (SURVEY.md SS6 sanitizers)
-    checkify: bool = False           # checkify float checks on the train step
+    # numerics sanitizer (SURVEY.md SS6): jax_debug_nans raises at the
+    # producing primitive. checkify was evaluated and rejected: float_checks
+    # through the doubly-differentiated GAN step exploded compile time
+    # (>28 min for the 32px smoke config).
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

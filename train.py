@@ -123,31 +123,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
                              cfg.run.epoch)
         print(f"resumed from step {int(state.step)}", flush=True)
-    if cfg.run.checkify:
-        # SURVEY.md SS6 sanitizer row: run the step under checkify float
-        # checks (NaN/inf/div0 localized to the producing primitive).
-        # Debug tool — single-device, unsharded.
-        from jax.experimental import checkify as chk
-        from pcgan_tpu.ops.preprocess import make_preprocess
-        from pcgan_tpu.train import make_train_step
-        if mesh.devices.size != 1:
-            raise SystemExit("--checkify is a single-device debug mode; "
-                             "use --mesh_shape 1")
-        inner = make_train_step(cfg, G, D, C, steps_per_epoch)
-        pre = make_preprocess(cfg, train=True)
-
-        def _full(state, raw):
-            rng = jax.random.fold_in(
-                jax.random.fold_in(state.rng, state.step), 0x5eed)
-            return inner(state, pre(rng, raw))
-
-        checked = jax.jit(chk.checkify(_full, errors=chk.float_checks))
-
-        def step_fn(state, raw):
-            err, out = checked(state, raw)
-            err.throw()
-            return out
-    elif "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
+    if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
         # data x spatial mesh: GSPMD-partitioned step (XLA inserts conv halo
         # exchanges; parallel/auto.py) — used when 256px activations need
         # H-dim sharding. Pool runs global/replicated on this path.
