@@ -233,7 +233,6 @@ _FLAG_MAP = {
     "eval": ("run", "eval"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
-    "checkify": ("run", "checkify"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
 }
