@@ -109,8 +109,12 @@ def main():
     from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
     if args.smoke:
+        # batch must divide across the mesh's data axis — under
+        # --xla_force_host_platform_device_count=8 the default mesh is 8-wide
+        import jax
+        smoke_batch = args.batch or max(4, jax.local_device_count())
         cfg = Config(
-            data=DataConfig(batch_size=args.batch or 4, crop_size=32,
+            data=DataConfig(batch_size=smoke_batch, crop_size=32,
                             load_size=36, n_age_bins=4),
             model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
                               dtype="float32"),

@@ -149,7 +149,18 @@ def make_preprocess(cfg, train: bool = True):
     """
     d = cfg.data
     mode = d.preprocess
-    load = d.load_size if "resize" in mode or mode == "scale_width" else None
+    if mode == "scale_width":
+        # The reference's scale_width preserves aspect ratio (W -> load_size,
+        # H proportional). This device pipeline is static-square (host decode
+        # canvases to native x native), so silently square-warping here would
+        # distort non-square inputs DIFFERENTLY from the reference. Reject
+        # loudly instead of lying (ADVICE r1).
+        raise NotImplementedError(
+            "preprocess=scale_width is aspect-preserving in the reference and "
+            "incompatible with the static-square device pipeline; use "
+            "resize_and_crop (square datasets like aligned UTKFace are "
+            "unaffected) or pre-resize your data offline")
+    load = d.load_size if "resize" in mode else None
     # no 'crop' in the mode -> output the resized size (or, for 'none', the
     # native size: crop=None resolves to the incoming image size below)
     crop = d.crop_size if "crop" in mode else load

@@ -240,9 +240,14 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             l_fake = gan_loss(pred_fake, False, t.gan_mode)
             loss = 0.5 * (l_real + l_fake)
             if t.gan_mode == "wgangp":
+                # penalty interpolates real <-> CURRENT fake (reference
+                # cal_gradient_penalty semantics); the pool mix feeds only
+                # the l_fake critic term above (ADVICE r1: penalizing along
+                # the stale pool manifold enforces Lipschitz off-policy)
                 gp = gradient_penalty(
                     lambda v, x, c: d_apply(v["params"], x, c)[0],
-                    {"params": d_params}, real, fake_d, cond_fake_d, r_gp)
+                    {"params": d_params}, real,
+                    fake_det.astype(compute_dtype), cond_target, r_gp)
                 loss = l_real + l_fake + t.lambda_gp * gp
             return loss, (l_real, l_fake, ds2)
 

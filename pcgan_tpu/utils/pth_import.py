@@ -220,10 +220,33 @@ def _copy_tree(t):
     return t
 
 
-def load_pth(path: str):
-    """Load a .pth state_dict (handles full-module saves too)."""
+def load_pth(path: str, allow_pickle: bool = False):
+    """Load a .pth state_dict.
+
+    Defaults to ``weights_only=True`` — the .pth files this importer targets
+    are external reference artifacts, and unpickling them with
+    ``weights_only=False`` executes arbitrary code embedded in the file
+    (ADVICE r1). Full-module saves (``torch.save(model)``) need the unsafe
+    path; opt in explicitly with ``allow_pickle=True`` (CLI:
+    ``--allow_pickle``) only for files you trust.
+    """
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain state_dict loadable with "
+                f"weights_only=True ({type(e).__name__}). If this is a "
+                f"full-module save from a source you trust, re-run with "
+                f"allow_pickle=True — WARNING: that executes arbitrary "
+                f"pickled code from the file.") from e
+        import warnings
+        warnings.warn(
+            f"loading {path} with weights_only=False: this executes "
+            f"arbitrary pickled code from the checkpoint file",
+            stacklevel=2)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return obj

@@ -93,6 +93,22 @@ def test_comparator_output(rng):
     assert bool(jnp.all(jnp.isfinite(mu)))
 
 
+def test_xavier_init_matches_torch_std(rng):
+    """torch xavier_normal_(gain=g): std = g * sqrt(2/(fan_in+fan_out)).
+
+    Regression for ADVICE r1: variance_scaling(fan_avg) already divides by
+    (fi+fo)/2, so scale must be g^2 (NOT 2*g^2 — that inflates std sqrt(2)x)."""
+    import numpy as np
+    from pcgan_tpu.models.layers import make_initializer
+    g = 0.02
+    fi, fo = 3 * 3 * 64, 3 * 3 * 128   # conv 3x3 64->128 receptive fans
+    init = make_initializer("xavier", g)
+    w = init(rng, (3, 3, 64, 128), jnp.float32)
+    want = g * np.sqrt(2.0 / (fi + fo))
+    got = float(jnp.std(w))
+    assert abs(got - want) / want < 0.05, (got, want)
+
+
 def test_bf16_policy_params_stay_f32(rng):
     cfg = Config(model=ModelConfig(dtype="bfloat16", netG="resnet_6blocks"))
     G = define_G(cfg)

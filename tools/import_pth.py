@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--name", default="imported")
     p.add_argument("--checkpoints_dir", default="./checkpoints")
     p.add_argument("--tag", default="latest")
+    p.add_argument("--allow_pickle", action="store_true",
+                   help="permit weights_only=False torch.load fallback for "
+                        "full-module saves — EXECUTES pickled code from the "
+                        "file; only for checkpoints you trust")
     args = p.parse_args(argv)
 
     from pcgan_tpu.platform import respect_env_platform
@@ -54,7 +58,7 @@ def main(argv=None):
         G, jax.random.PRNGKey(0),
         jnp.zeros((1, args.crop_size, args.crop_size, args.input_nc)),
         jnp.zeros((1, args.n_age_bins)), train=False)
-    sd = load_pth(args.pth)
+    sd = load_pth(args.pth, allow_pickle=args.allow_pickle)
     new_params = import_generator_pth(sd, variables["params"], args.netG,
                                       args.cond_inject)
 
