@@ -38,7 +38,7 @@ def main(argv=None):
     s = cfg.data.crop_size
     template = init_params(G, jax.random.PRNGKey(0),
                            jnp.zeros((1, s, s, cfg.data.input_nc)),
-                           jnp.zeros((1, cfg.data.n_age_bins)), train=False)
+                           jnp.zeros((1, cfg.cond_nc)), train=False)
     g_vars = ckpt.restore_generator(template, cfg.run.checkpoints_dir,
                                     cfg.run.name, cfg.run.epoch)
 

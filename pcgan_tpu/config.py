@@ -39,6 +39,7 @@ class DataConfig:
     num_threads: int = 4             # host-side decode workers
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
     labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
+    comparisons_csv: str = ""        # for dataset_mode=comparisons (pathA,pathB,label)
     batch_size: int = 8              # GLOBAL batch (split across data mesh axis)
     input_nc: int = 3
     output_nc: int = 3
@@ -63,6 +64,7 @@ class ModelConfig:
     init_gain: float = 0.02
     no_dropout: bool = True
     cond_inject: str = "input"       # input | bottleneck (where cond map concats)
+    cond_mode: str = "onehot"        # onehot | score (continuous comparator score)
     # comparator (C8)
     cmp_nf: int = 64
     cmp_n_down: int = 4
@@ -86,7 +88,7 @@ class TrainConfig:
     pool_size: int = 50              # fake-image pool for D (C12)
     niter: int = 100                 # epochs at constant lr
     niter_decay: int = 100           # epochs of linear lr decay to 0
-    lr_policy: str = "linear"        # linear | step | cosine | constant
+    lr_policy: str = "linear"        # linear | step | cosine | constant | plateau
     lr_decay_iters: int = 50
     epoch_count: int = 1
     continue_train: bool = False
@@ -96,6 +98,9 @@ class TrainConfig:
     display_freq: int = 400
     save_latest_freq: int = 5000
     save_epoch_freq: int = 5
+    # retention: keep only the newest N epoch_<k> checkpoints (0 = keep all,
+    # the reference's behavior; full states are large at 256px)
+    max_ckpt_keep: int = 5
     # comparator pretraining
     comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
     # in-training eval (BASELINE config 5 streaming FID)
@@ -122,7 +127,11 @@ class RunConfig:
     phase: str = "train"
     epoch: str = "latest"            # which checkpoint to load at test time
     num_test: int = 50
-    eval: bool = False
+    # FID feature space: 'random' (fixed-seed conv net, in-sandbox default),
+    # 'comparator' (pretrained comparator trunk via --comparator_path), or
+    # 'pth:<file>' (imported torchvision/pytorch-fid InceptionV3 —
+    # externally comparable numbers)
+    fid_features: str = "random"
     verbose: bool = False
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
@@ -143,7 +152,10 @@ class Config:
 
     @property
     def cond_nc(self) -> int:
-        return self.data.n_age_bins
+        """Condition-channel width fed to G/D: one-hot over bins, or a single
+        continuous comparator-score channel (the paper's score-conditioning
+        variant, SURVEY.md SS2 C6/C11 'one-hot or score map')."""
+        return 1 if self.model.cond_mode == "score" else self.data.n_age_bins
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
@@ -178,6 +190,7 @@ _FLAG_MAP = {
     "num_threads": ("data", "num_threads"),
     "max_dataset_size": ("data", "max_dataset_size"),
     "labels_csv": ("data", "labels_csv"),
+    "comparisons_csv": ("data", "comparisons_csv"),
     "batch_size": ("data", "batch_size"),
     "input_nc": ("data", "input_nc"),
     "output_nc": ("data", "output_nc"),
@@ -195,6 +208,7 @@ _FLAG_MAP = {
     "init_gain": ("model", "init_gain"),
     "no_dropout": ("model", "no_dropout"),
     "cond_inject": ("model", "cond_inject"),
+    "cond_mode": ("model", "cond_mode"),
     "cmp_nf": ("model", "cmp_nf"),
     "cmp_n_down": ("model", "cmp_n_down"),
     "tie_margin": ("model", "tie_margin"),
@@ -222,6 +236,7 @@ _FLAG_MAP = {
     "display_freq": ("train", "display_freq"),
     "save_latest_freq": ("train", "save_latest_freq"),
     "save_epoch_freq": ("train", "save_epoch_freq"),
+    "max_ckpt_keep": ("train", "max_ckpt_keep"),
     "comparator_path": ("train", "comparator_path"),
     "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
     "eval_fid_images": ("train", "eval_fid_images"),
@@ -230,7 +245,7 @@ _FLAG_MAP = {
     "phase": ("run", "phase"),
     "epoch": ("run", "epoch"),
     "num_test": ("run", "num_test"),
-    "eval": ("run", "eval"),
+    "fid_features": ("run", "fid_features"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
     # parallel
@@ -280,6 +295,11 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
                        help="accepted for reference CLI compatibility; ignored")
     p.add_argument("--no_html", action="store_true", default=None,
                    help="accepted for reference CLI compatibility; ignored")
+    p.add_argument("--eval", action="store_true", default=None,
+                   help="accepted for reference CLI compatibility; a no-op "
+                        "here because sampling/eval ALWAYS runs eval-mode "
+                        "norms and dropout (train=False) — the behavior the "
+                        "reference flag opts into")
     return p
 
 

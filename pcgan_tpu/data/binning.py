@@ -53,3 +53,41 @@ def all_bins_onehot(n_bins: int, dtype=jnp.float32):
     """(n_bins, n_bins) identity — one condition vector per bin, for the
     aging-progression grid (SURVEY.md SS4.2 inner loop)."""
     return jnp.eye(n_bins, dtype=dtype)
+
+
+# --------------------------------------------------------------------------- #
+# continuous score conditioning (SURVEY.md SS2 C11: "or continuous comparator
+# score"; the paper's score-map variant — cfg.model.cond_mode == 'score')
+# --------------------------------------------------------------------------- #
+
+
+def bin_to_score(bin_idx, n_bins: int, dtype=jnp.float32):
+    """Bin index -> normalized score in [-1, 1] (bin centers, evenly spaced).
+
+    Fallback encoding when no comparator provides real scores: score mode
+    still trains/samples, conditioned on the normalized bin ladder."""
+    b = jnp.asarray(bin_idx, jnp.float32)
+    return (2.0 * (b + 0.5) / float(n_bins) - 1.0).astype(dtype)
+
+
+def score_sweep(n_steps: int, dtype=jnp.float32):
+    """(n_steps, 1) condition column sweeping the normalized score range
+    [-1, 1] — the score-mode analogue of ``all_bins_onehot`` for the
+    progression grid."""
+    return jnp.linspace(-1.0, 1.0, n_steps, dtype=jnp.float32)[
+        :, None].astype(dtype)
+
+
+def normalize_score(mu, score_min, score_max):
+    """Raw comparator score -> [-1, 1] given the pretraining-time anchor
+    range (the extreme bins' mean scores). Clipped: out-of-range reals map to
+    the nearest end of the conditioning interval."""
+    mu = jnp.asarray(mu, jnp.float32)
+    span = jnp.maximum(score_max - score_min, 1e-6)
+    return jnp.clip(2.0 * (mu - score_min) / span - 1.0, -1.0, 1.0)
+
+
+def denormalize_score(s, score_min, score_max):
+    """[-1, 1] normalized score -> raw comparator score."""
+    s = jnp.asarray(s, jnp.float32)
+    return score_min + (s + 1.0) * 0.5 * (score_max - score_min)

@@ -49,6 +49,12 @@ def create_dataset(cfg: Config, train: bool = True):
             cfg, data=dataclasses.replace(cfg.data, dataset_mode=base_mode))
         base = create_dataset(base_cfg, train)
         return PairwiseComparisonDataset(base, tie_years=3, seed=cfg.train.seed)
+    if mode == "comparisons":
+        # real human pairwise annotations — no ages anywhere (SURVEY.md SS2
+        # C10 'pairwise-comparison dataset', SS4.3)
+        from pcgan_tpu.data.pairwise import ComparisonsCSVDataset
+        return ComparisonsCSVDataset(cfg.data.comparisons_csv,
+                                     dataroot=cfg.data.dataroot, max_size=ms)
     raise NotImplementedError(f"dataset_mode [{mode}] not implemented")
 
 

@@ -23,25 +23,41 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
     jitted program preprocesses (eval transform), generates fakes at permuted
     target bins (matching the real condition marginal), and folds both
     feature sets into device-resident streaming stats. `comparator` is
-    (C, c_vars, bin_lo, bin_hi) for condition accuracy, or None.
+    (C, c_vars, bin_lo, bin_hi[, bin_means]) for condition accuracy, or None.
+
+    cond_mode=score: targets are the permuted real bins' score-ladder values
+    (so the generated condition marginal still matches the real one), encoded
+    through the comparator's bin-mean range when available.
     """
     nb = cfg.data.n_age_bins
-    feature_fn, d = fid_ops.make_feature_fn(cfg.data.crop_size,
-                                            cfg.data.output_nc)
+    score_mode = cfg.model.cond_mode == "score"
+    feature_fn, d = make_feature_extractor(cfg, comparator)
     pre = make_preprocess(cfg, train=False)
+    bin_means = None
     if comparator is not None:
         # accept host (numpy) snapshots — callers pass device_get copies so
         # donated train-state buffers are never captured
-        C, c_vars, lo, hi = comparator
+        C, c_vars, lo, hi = comparator[:4]
+        if len(comparator) > 4 and comparator[4] is not None:
+            bin_means = jnp.asarray(comparator[4])
         comparator = (C, jax.tree.map(jnp.asarray, c_vars),
                       jnp.asarray(lo), jnp.asarray(hi))
 
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n):
+        from pcgan_tpu.data.binning import bin_to_score, normalize_score
         batch = pre(jax.random.PRNGKey(0), {"image": real_u8})
         real = batch["image"].astype(jnp.float32)
         target_bin = bins[perm]
-        cond = bin_to_onehot(target_bin, nb)
+        if score_mode:
+            if bin_means is not None:
+                s = normalize_score(bin_means[target_bin],
+                                    bin_means[0], bin_means[-1])
+            else:
+                s = bin_to_score(target_bin, nb)
+            cond = s[:, None]
+        else:
+            cond = bin_to_onehot(target_bin, nb)
         fake = G.apply(g_vars, real, cond, train=False)
         r_stats = fid_ops.update_stats(r_stats, feature_fn(real))
         f_stats = fid_ops.update_stats(f_stats, feature_fn(fake))
@@ -77,8 +93,40 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
     return run
 
 
+def make_feature_extractor(cfg: Config, comparator=None):
+    """FID feature space dispatch on ``--fid_features`` (SURVEY.md SS6
+    metrics row): returns (f(images in [-1,1]) -> (B, d), d).
+
+    random      — fixed-seed conv features (deterministic, in-sandbox only)
+    comparator  — pretrained comparator trunk embedding (face-aware; needs
+                  --comparator_path)
+    pth:<file>  — torchvision/pytorch-fid InceptionV3 import: the only mode
+                  whose numbers are comparable to published FID.
+    """
+    spec = cfg.run.fid_features
+    if spec == "random":
+        return fid_ops.make_feature_fn(cfg.data.crop_size, cfg.data.output_nc)
+    if spec == "comparator":
+        if comparator is None:
+            raise ValueError("--fid_features comparator requires "
+                             "--comparator_path (no comparator loaded)")
+        C, c_vars = comparator[0], jax.tree.map(jnp.asarray, comparator[1])
+
+        def f(images):
+            return C.apply(c_vars, images, train=False, return_features=True)
+
+        return f, C.nf * 4
+    if spec.startswith("pth:"):
+        from pcgan_tpu.models.inception import make_inception_feature_fn
+        return make_inception_feature_fn(spec[len("pth:"):])
+    raise NotImplementedError(f"--fid_features [{spec}] not implemented "
+                              f"(want random | comparator | pth:<file>)")
+
+
 def load_comparator_bundle(cfg: Config):
-    """(C, c_vars, bin_lo, bin_hi) from cfg.train.comparator_path, or None."""
+    """(C, c_vars, bin_lo, bin_hi, bin_means) from cfg.train.comparator_path,
+    or None. ``bin_means`` is None for pre-score-mode checkpoints (saved
+    before bin means were recorded)."""
     if not cfg.train.comparator_path:
         return None
     import os
@@ -90,9 +138,18 @@ def load_comparator_bundle(cfg: Config):
     ex = create_comparator_state(cfg, C, jax.random.PRNGKey(0), 1)
     target = {"c_vars": {"params": ex.params, **ex.state},
               "bin_lo": jnp.zeros(cfg.data.n_age_bins),
-              "bin_hi": jnp.zeros(cfg.data.n_age_bins)}
+              "bin_hi": jnp.zeros(cfg.data.n_age_bins),
+              "bin_means": jnp.zeros(cfg.data.n_age_bins)}
     c = ocp.StandardCheckpointer()
-    restored = c.restore(
-        os.path.abspath(cfg.train.comparator_path),
-        target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
-    return C, restored["c_vars"], restored["bin_lo"], restored["bin_hi"]
+    path = os.path.abspath(cfg.train.comparator_path)
+    try:
+        restored = c.restore(
+            path, target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
+    except BaseException:
+        # older comparator checkpoints predate bin_means
+        target.pop("bin_means")
+        restored = c.restore(
+            path, target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
+        restored["bin_means"] = None
+    return (C, restored["c_vars"], restored["bin_lo"], restored["bin_hi"],
+            restored["bin_means"])

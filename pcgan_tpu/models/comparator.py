@@ -58,9 +58,14 @@ class Comparator(nn.Module):
     kernel_init: Callable = nn.initializers.normal(0.02)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: (N,H,W,C) in [-1,1] -> (mu (N,), log_var (N,))."""
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 return_features: bool = False):
+        """x: (N,H,W,C) in [-1,1] -> (mu (N,), log_var (N,)).
+
+        ``return_features=True`` instead returns the penultimate trunk
+        embedding (N, nf*4) — the pretrained, face-aware feature space used
+        by ``--fid_features comparator`` (SURVEY.md SS6 metrics row).
+        """
         use_bias = norm_uses_bias(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
         h = x.astype(self.dtype)
@@ -74,6 +79,8 @@ class Comparator(nn.Module):
         h = nn.Dense(self.nf * 4, dtype=jnp.float32,
                      kernel_init=self.kernel_init)(h)
         h = nn.leaky_relu(h, 0.2)
+        if return_features:
+            return h
         out = nn.Dense(2, dtype=jnp.float32, kernel_init=self.kernel_init)(h)
         mu, log_var = out[:, 0], out[:, 1]
         # clamp log_var for numerical stability of the pairwise z-score

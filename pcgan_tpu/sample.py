@@ -15,17 +15,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcgan_tpu.config import Config
-from pcgan_tpu.data.binning import all_bins_onehot, bin_center_age
+from pcgan_tpu.data.binning import all_bins_onehot, bin_center_age, score_sweep
 
 
 def make_sampler(cfg: Config, G):
-    """Returns jitted f(g_variables, images (B,H,W,C)) -> (B, n_bins, H, W, C)."""
+    """Returns jitted f(g_variables, images (B,H,W,C)) -> (B, n_bins, H, W, C).
+
+    cond_mode=onehot: one column per age bin. cond_mode=score: the grid
+    sweeps the normalized comparator-score range [-1, 1] in ``n_age_bins``
+    even steps (the paper's continuous-conditioning progression)."""
     nb = cfg.data.n_age_bins
+    score_mode = cfg.model.cond_mode == "score"
 
     @jax.jit
     def sample(g_variables, images):
         b = images.shape[0]
-        conds = all_bins_onehot(nb, images.dtype)              # (nb, nb)
+        if score_mode:
+            conds = score_sweep(nb, images.dtype)              # (nb, 1)
+        else:
+            conds = all_bins_onehot(nb, images.dtype)          # (nb, nb)
         x = jnp.repeat(images, nb, axis=0)                     # (B*nb, ...)
         c = jnp.tile(conds, (b, 1))
         fakes = G.apply(g_variables, x, c, train=False)
@@ -36,9 +44,15 @@ def make_sampler(cfg: Config, G):
 
 def aging_grid_visuals(cfg: Config, real: np.ndarray,
                        fakes: np.ndarray) -> Dict[str, np.ndarray]:
-    """Row dict for the HTML page: input + one fake per bin, labeled by the
-    bin's representative age (reference results-page layout)."""
+    """Row dict for the HTML page: input + one fake per condition, labeled by
+    the bin's representative age (onehot) or the swept normalized score
+    (score mode) — reference results-page layout."""
     out = {"input": real}
+    if cfg.model.cond_mode == "score":
+        sweep = np.asarray(score_sweep(fakes.shape[0]))[:, 0]
+        for b in range(fakes.shape[0]):
+            out[f"score_{sweep[b]:+.2f}"] = fakes[b]
+        return out
     for b in range(fakes.shape[0]):
         age = int(bin_center_age(b, cfg.data.n_age_bins, cfg.data.max_age))
         out[f"age_{age:03d}"] = fakes[b]

@@ -69,13 +69,47 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
         elif t.lr_policy == "cosine":
             f = 0.5 * (1.0 + jnp.cos(jnp.pi * (epoch - 1) / float(t.niter)))
         elif t.lr_policy in ("constant", "plateau"):
-            # plateau needs host-side metric feedback; documented fallback
+            # plateau's metric-driven factor enters through the step-applied
+            # lr_scale state scalar (PlateauScheduler below), not this
+            # step-count schedule
             f = 1.0
         else:
             raise NotImplementedError(f"lr_policy [{t.lr_policy}]")
         return t.lr * jnp.clip(f, 0.0, 1.0)
 
     return sched
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (the reference's ``--lr_policy plateau``,
+    SURVEY.md SS2 C14; torch ``lr_scheduler.ReduceLROnPlateau(mode='min',
+    factor=0.2, threshold=0.01, patience=5)`` semantics).
+
+    The jitted step cannot see host metrics, so the loop feeds the observed
+    per-epoch loss here and writes the returned factor into
+    ``TrainState.lr_scale`` — a replicated scalar the step multiplies into
+    both optimizers' updates (exactly scaling Adam's lr).
+    """
+
+    def __init__(self, factor: float = 0.2, patience: int = 5,
+                 threshold: float = 0.01, min_scale: float = 1e-4):
+        self.factor, self.patience = factor, patience
+        self.threshold, self.min_scale = threshold, min_scale
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> float:
+        """Feed one epoch's metric (min mode); returns the current scale."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.bad_epochs = 0
+        return self.scale
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -100,6 +134,9 @@ class TrainState:
     c_vars: Any                         # frozen comparator variables or None
     bin_lo: jnp.ndarray                 # (n_bins,) comparator score anchors
     bin_hi: jnp.ndarray
+    score_min: jnp.ndarray              # scalar raw-score range for cond_mode=
+    score_max: jnp.ndarray              # 'score' normalization (bin-mean extremes)
+    lr_scale: jnp.ndarray               # host-driven LR factor (plateau policy)
     pool: image_pool.PoolState
     rng: jax.Array
 
@@ -114,17 +151,23 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
                        steps_per_epoch: int,
                        c_vars: Any = None,
                        bin_anchors: Optional[Tuple] = None) -> TrainState:
-    """Initialize all params/optimizers/pool for the GAN (SURVEY.md SS4.4)."""
+    """Initialize all params/optimizers/pool for the GAN (SURVEY.md SS4.4).
+
+    ``bin_anchors`` is (lo, hi) or (lo, hi, bin_means) from
+    ``compute_bin_anchors``; the bin means' extremes set the score-mode
+    normalization range."""
     n, s = cfg.data.batch_size, cfg.data.crop_size
     nb = cfg.data.n_age_bins
+    cond_nc = cfg.cond_nc
     x = jnp.zeros((n, s, s, cfg.data.input_nc), jnp.float32)
-    cond = jnp.zeros((n, nb), jnp.float32)
+    cond = jnp.zeros((n, cond_nc), jnp.float32)
     rg, rd, rs = jax.random.split(rng, 3)
     g_params, g_state = _split_vars(
         G.init({"params": rg, "dropout": rg}, x, cond, train=True))
     d_params, d_state = _split_vars(
         D.init({"params": rd}, x, cond, train=True))
     tx = make_optimizer(cfg, steps_per_epoch)
+    score_min, score_max = jnp.float32(-1.0), jnp.float32(1.0)
     if bin_anchors is None:
         # without comparator anchors the cond loss sees degenerate [0,0] bins;
         # it is disabled unless lambda_cond>0 AND c_vars provided.
@@ -133,14 +176,19 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
     else:
         bin_lo, bin_hi = (jnp.asarray(bin_anchors[0], jnp.float32),
                           jnp.asarray(bin_anchors[1], jnp.float32))
+        if len(bin_anchors) > 2 and bin_anchors[2] is not None:
+            means = jnp.asarray(bin_anchors[2], jnp.float32)
+            score_min, score_max = means[0], means[-1]
     return TrainState(
         step=jnp.array(0, jnp.int32),
         g_params=g_params, g_state=g_state,
         d_params=d_params, d_state=d_state,
         g_opt=tx.init(g_params), d_opt=tx.init(d_params),
         c_vars=c_vars, bin_lo=bin_lo, bin_hi=bin_hi,
+        score_min=score_min, score_max=score_max,
+        lr_scale=jnp.float32(1.0),
         pool=image_pool.init_pool(
-            cfg.train.pool_size, (s, s, cfg.data.output_nc), nb),
+            cfg.train.pool_size, (s, s, cfg.data.output_nc), cond_nc),
         rng=rs)
 
 
@@ -158,6 +206,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
     t = cfg.train
     nb = cfg.data.n_age_bins
     use_cond_loss = (t.lambda_cond > 0.0) and (C is not None)
+    score_mode = cfg.model.cond_mode == "score"
     compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     fuse_d = cfg.model.norm != "batch"   # 2B-batched D passes (see d_loss_fn)
 
@@ -176,12 +225,44 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         r_target, r_drop, r_pool, r_gp = jax.random.split(rng, 4)
 
         real_bin = batch["bin"].astype(jnp.int32)
-        if "target_bin" in batch:
-            target_bin = batch["target_bin"].astype(jnp.int32)
+        if score_mode:
+            # continuous comparator-score conditioning (the paper's score-map
+            # variant, SURVEY.md SS2 C6/C11). Targets: uniform over the
+            # normalized score range. Real condition: the frozen comparator's
+            # own score of the real image when available (fully label-free —
+            # no ages anywhere), else the normalized bin ladder.
+            from pcgan_tpu.data.binning import (bin_to_score,
+                                                denormalize_score,
+                                                normalize_score)
+            if "target_score" in batch:
+                s_target = batch["target_score"].astype(jnp.float32)
+            elif "target_bin" in batch:
+                s_target = bin_to_score(batch["target_bin"], nb)
+            else:
+                s_target = jax.random.uniform(r_target, (bsz,),
+                                              minval=-1.0, maxval=1.0)
+            if C is not None:
+                mu_r, _ = C.apply(state.c_vars, real, train=False)
+                s_real = normalize_score(mu_r, state.score_min,
+                                         state.score_max)
+            else:
+                s_real = bin_to_score(real_bin, nb)
+            cond_real = s_real[:, None].astype(compute_dtype)
+            cond_target = s_target[:, None].astype(compute_dtype)
+            # raw-score target for the comparator NLL cond loss
+            raw_target = denormalize_score(s_target, state.score_min,
+                                           state.score_max)
+            cond_lo, cond_hi = raw_target, raw_target
+            target_bin = None
         else:
-            target_bin = jax.random.randint(r_target, (bsz,), 0, nb)
-        cond_real = bin_to_onehot(real_bin, nb, compute_dtype)
-        cond_target = bin_to_onehot(target_bin, nb, compute_dtype)
+            if "target_bin" in batch:
+                target_bin = batch["target_bin"].astype(jnp.int32)
+            else:
+                target_bin = jax.random.randint(r_target, (bsz,), 0, nb)
+            cond_real = bin_to_onehot(real_bin, nb, compute_dtype)
+            cond_target = bin_to_onehot(target_bin, nb, compute_dtype)
+            cond_lo, cond_hi = (state.bin_lo[target_bin],
+                                state.bin_hi[target_bin])
 
         # ---- one 2B generator forward, linearized for later grad pullback --
         x2 = jnp.concatenate([real, real], axis=0)
@@ -255,6 +336,9 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_grads = psum_mean(d_grads)
         d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
+        # lr_scale: host-driven plateau factor; scaling Adam's update is
+        # exactly scaling its lr (update = -lr * mhat/(sqrt(vhat)+eps))
+        d_upd = jax.tree.map(lambda u: u * state.lr_scale, d_upd)
         new_d_params = optax.apply_updates(state.d_params, d_upd)
 
         # ---- G update (vs updated D in 'sequential' reference mode) --------
@@ -268,9 +352,11 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                                     - real.astype(jnp.float32)))
             if use_cond_loss:
                 mu, log_var = C.apply(state.c_vars, fake, train=False)
-                l_cond = condition_consistency_loss(
-                    mu, log_var, state.bin_lo[target_bin],
-                    state.bin_hi[target_bin])
+                # onehot: NLL of the nearest in-bin score; score mode: the
+                # interval degenerates to the exact raw target score, making
+                # this the plain Gaussian NLL toward the conditioning score
+                l_cond = condition_consistency_loss(mu, log_var,
+                                                    cond_lo, cond_hi)
             else:
                 l_cond = jnp.float32(0.0)
             loss = l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
@@ -281,6 +367,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         (g_grads,) = g_vjp(dout)
         g_grads = psum_mean(g_grads)
         g_upd, new_g_opt = tx.update(g_grads, state.g_opt, state.g_params)
+        g_upd = jax.tree.map(lambda u: u * state.lr_scale, g_upd)
         new_g_params = optax.apply_updates(state.g_params, g_upd)
 
         metrics = {
@@ -381,11 +468,13 @@ def compute_bin_anchors(C, c_vars, images: jnp.ndarray, bins: jnp.ndarray,
     """Per-bin comparator score intervals from real data (SURVEY.md SS4.3:
     the frozen comparator 'sorts' data; bin anchors drive the GAN cond loss).
 
-    Returns (lo, hi) of shape (n_bins,): mean-score midpoints between
-    adjacent bins, so each bin's interval tiles the score axis. Host-side
-    (called once after pretraining). Empty bins — common at the age extremes
-    of a small anchor subset — are filled by linear interpolation /
-    edge-extension over bin index instead of a spurious 0 mean.
+    Returns (lo, hi, means), each of shape (n_bins,): mean-score midpoints
+    between adjacent bins, so each bin's interval tiles the score axis, plus
+    the per-bin mean scores themselves (``means[0]``/``means[-1]`` define the
+    score-mode conditioning range). Host-side (called once after
+    pretraining). Empty bins — common at the age extremes of a small anchor
+    subset — are filled by linear interpolation / edge-extension over bin
+    index instead of a spurious 0 mean.
     """
     import numpy as np
     mu = np.asarray(C.apply(c_vars, images, train=False)[0], np.float64)
@@ -397,6 +486,15 @@ def compute_bin_anchors(C, c_vars, images: jnp.ndarray, bins: jnp.ndarray,
             means[k] = mu[sel].mean()
     if np.isnan(means).all():
         raise ValueError("no anchor images fell into any bin")
+    return _tile_anchor_intervals(means)
+
+
+def _tile_anchor_intervals(means):
+    """(n_bins,) per-bin mean scores (possibly with NaN gaps) -> (lo, hi,
+    means): gap-filled, monotone means plus midpoint-tiled score intervals."""
+    import numpy as np
+    means = np.asarray(means, np.float64)
+    n_bins = means.shape[0]
     idx = np.arange(n_bins, dtype=np.float64)
     ok = ~np.isnan(means)
     means = np.interp(idx, idx[ok], means[ok])   # fill gaps + extend edges
@@ -405,4 +503,22 @@ def compute_bin_anchors(C, c_vars, images: jnp.ndarray, bins: jnp.ndarray,
     mid = 0.5 * (means[1:] + means[:-1])
     lo = np.concatenate([[-1e30], mid])
     hi = np.concatenate([mid, [1e30]])
-    return jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
+    return (jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+            jnp.asarray(means, jnp.float32))
+
+
+def compute_quantile_anchors(C, c_vars, images: jnp.ndarray, n_bins: int
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Score anchors with NO age labels (``--dataset_mode comparisons``):
+    score the image pool with the frozen comparator, split into ``n_bins``
+    equal-occupancy quantile groups along the score axis, and anchor each bin
+    at its group's mean score. The label-free counterpart of
+    ``compute_bin_anchors`` (SURVEY.md SS4.3: the comparator 'sorts' data).
+    """
+    import numpy as np
+    mu = np.asarray(C.apply(c_vars, images, train=False)[0], np.float64)
+    if mu.size == 0:
+        raise ValueError("no images to fit score anchors on")
+    groups = np.array_split(np.argsort(mu), n_bins)
+    means = np.array([mu[g].mean() if len(g) else np.nan for g in groups])
+    return _tile_anchor_intervals(means)

@@ -81,6 +81,37 @@ def exists(checkpoints_dir: str, name: str, tag: str = "latest") -> bool:
     return os.path.isdir(_dir(checkpoints_dir, name, tag))
 
 
+def prune_epochs(checkpoints_dir: str, name: str, max_to_keep: int) -> list:
+    """Retention sweep (SURVEY.md SS6 checkpoint row): keep only the newest
+    ``max_to_keep`` ``epoch_<k>`` checkpoints (full-state + ``_G`` twins);
+    ``latest``/``latest_G``/``comparator`` are never touched. ``max_to_keep
+    <= 0`` keeps everything (the reference's keep-all behavior). Returns the
+    removed tag names."""
+    if max_to_keep <= 0:
+        return []
+    import re
+    import shutil
+    base = os.path.join(checkpoints_dir, name)
+    if not os.path.isdir(base):
+        return []
+    pat = re.compile(r"^epoch_(\d+)(_G)?$")
+    epochs = {}
+    for d in os.listdir(base):
+        m = pat.match(d)
+        if m:
+            epochs.setdefault(int(m.group(1)), []).append(d)
+    keep = set(sorted(epochs)[-max_to_keep:])
+    removed = []
+    doomed = [d for k, dirs in epochs.items() if k not in keep for d in dirs]
+    if doomed:
+        # never rmtree under an in-flight async save
+        _ckpt().wait_until_finished()
+        for d in sorted(doomed):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def wait_all():
     if _CHECKPOINTER is not None:
         _CHECKPOINTER.wait_until_finished()

@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# BASELINE config 5: 256px CACD-scale training, large-batch bf16, remat,
+# streaming on-device FID every 5 epochs (SURVEY.md SS7 acceptance configs).
+#
+# Measured on one v5e chip (round 1): batch 16 fits HBM without remat
+# (110.5 imgs/s/chip); batch 32 needs --remat (98.5 imgs/s/chip). The
+# default below is the larger-batch remat config — the one that scales to
+# DP meshes (per-chip batch 32; pass --mesh_shape 8 on a v5e-8 for
+# global-256). FID features default to the in-sandbox 'random' extractor;
+# switch to --fid_features comparator (with --comparator_path) or
+# --fid_features pth:<inception_v3.pth> for externally comparable numbers.
+set -e
+python train.py \
+  --dataroot "${DATAROOT:-./datasets/cacd}" \
+  --name cacd256 --model pcgan \
+  --netG resnet_9blocks --netD basic --norm instance \
+  --load_size 286 --crop_size 256 --batch_size 32 --remat \
+  --dtype bfloat16 \
+  --n_age_bins 10 \
+  --gan_mode lsgan --lambda_L1 100 --pool_size 64 \
+  --niter 100 --niter_decay 100 --lr 0.0002 --beta1 0.5 \
+  --eval_fid_epoch_freq 5 --eval_fid_images 1024 \
+  --max_ckpt_keep 5 \
+  --print_freq 100 --save_epoch_freq 5 "$@"

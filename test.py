@@ -39,7 +39,7 @@ def main(argv=None):
     template = init_params(
         G, jax.random.PRNGKey(0),
         jnp.zeros((1, s, s, cfg.data.input_nc)),
-        jnp.zeros((1, cfg.data.n_age_bins)), train=False)
+        jnp.zeros((1, cfg.cond_nc)), train=False)
     if not ckpt.exists(cfg.run.checkpoints_dir, cfg.run.name,
                        f"{cfg.run.epoch}_G"):
         raise SystemExit(

@@ -28,6 +28,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long e2e CLI flows (still run by default in CI)")
+
+
 @pytest.fixture
 def rng():
     import jax

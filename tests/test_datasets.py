@@ -65,6 +65,71 @@ def test_sorted_labels_dataset(tmp_path, np_rng):
     assert "bin" in batch and batch["bin"].shape == (2,)
 
 
+def test_comparisons_csv_dataset(tmp_path, np_rng):
+    """Real pairwise-annotation ingest (VERDICT r1 item 2): CSV of
+    pathA,pathB,label rows, no ages anywhere."""
+    from PIL import Image
+    from pcgan_tpu.data.pairwise import ComparisonsCSVDataset
+    names = []
+    for i in range(4):
+        p = tmp_path / f"face{i}.png"
+        Image.fromarray(np_rng.integers(0, 255, (50, 50, 3),
+                                        dtype=np.uint8)).save(p)
+        names.append(f"face{i}.png")      # relative: resolve vs CSV dir
+    csv_path = tmp_path / "comparisons.csv"
+    with open(csv_path, "w") as f:
+        f.write("pathA,pathB,label\n")     # header tolerated
+        f.write(f"{names[0]},{names[1]},0\n")
+        f.write(f"{names[1]},{names[2]},b\n")      # string labels tolerated
+        f.write(f"{names[2]},{names[3]},tie\n")
+    ds = ComparisonsCSVDataset(str(csv_path))
+    assert len(ds) == 3
+    item = ds.get_raw(1)
+    assert item["image_a"].shape == (200, 200, 3)  # native canvas
+    assert int(item["label"]) == 1
+    assert int(ds.get_raw(2)["label"]) == 2
+    # unique-image pool view for label-free anchor fitting
+    pool = ds.image_pool_dataset()
+    assert len(pool) == 4
+    assert pool.get_raw(0)["image"].shape == (200, 200, 3)
+    # loader batches the pair keys
+    ld = Loader(ds, 2, shuffle=False, num_threads=1)
+    batch = next(iter(ld))
+    assert batch["image_a"].shape == (2, 200, 200, 3)
+    assert batch["label"].shape == (2,)
+
+
+def test_comparisons_csv_bad_label_raises(tmp_path, np_rng):
+    from PIL import Image
+    from pcgan_tpu.data.pairwise import ComparisonsCSVDataset
+    p = tmp_path / "x.png"
+    Image.fromarray(np_rng.integers(0, 255, (8, 8, 3),
+                                    dtype=np.uint8)).save(p)
+    csv_path = tmp_path / "bad.csv"
+    with open(csv_path, "w") as f:
+        f.write(f"{p},{p},maybe\n")
+    with pytest.raises(ValueError, match="bad label"):
+        ComparisonsCSVDataset(str(csv_path))
+
+
+def test_quantile_anchors_label_free():
+    """compute_quantile_anchors: monotone tiled intervals from scores alone."""
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.models.registry import define_C, init_params
+    from pcgan_tpu.train import compute_quantile_anchors
+    cfg = Config(model=ModelConfig(cmp_nf=8, cmp_n_down=2, dtype="float32"),
+                 data=DataConfig())
+    C = define_C(cfg)
+    c_vars = init_params(C, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3)) * 2 - 1
+    lo, hi, means = compute_quantile_anchors(C, c_vars, imgs, 4)
+    assert lo.shape == hi.shape == means.shape == (4,)
+    assert bool(jnp.all(lo[1:] == hi[:-1]))
+    assert bool(jnp.all(jnp.diff(means) >= 0))
+
+
 def test_loader_shuffle_and_drop_last():
     ds = SyntheticAgingDataset(size=10, seed=0)
     ld = Loader(ds, 4, shuffle=True, seed=0, num_threads=2)

@@ -138,11 +138,111 @@ def test_bin_anchors_handle_empty_bins():
     c_vars = init_params(C, jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3)))
     imgs = jax.random.uniform(jax.random.PRNGKey(2), (12, 32, 32, 3)) * 2 - 1
     bins = jnp.asarray(np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 2, 2, 2]))  # bin 3 empty
-    lo, hi = compute_bin_anchors(C, c_vars, imgs, bins, 4)
-    assert lo.shape == (4,) and hi.shape == (4,)
+    lo, hi, means = compute_bin_anchors(C, c_vars, imgs, bins, 4)
+    assert lo.shape == (4,) and hi.shape == (4,) and means.shape == (4,)
     # intervals tile the axis monotonically
     assert bool(jnp.all(lo[1:] == hi[:-1]))
     assert bool(jnp.all(hi > lo))
+    assert bool(jnp.all(jnp.diff(means) >= 0))
+
+
+def test_score_mode_step_runs_and_learns_cond():
+    """cond_mode=score: the step runs with a 1-channel score condition, the
+    cond loss (Gaussian NLL toward the raw target score) is finite, and both
+    nets update (SURVEY.md SS2 C6/C11 score-map variant)."""
+    base = tiny_cfg()
+    cfg = Config(
+        data=base.data,
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8, cmp_nf=8,
+                          cmp_n_down=2, dtype="float32", cond_mode="score"),
+        train=TrainConfig(pool_size=8, lambda_L1=1.0, lambda_cond=5.0))
+    assert cfg.cond_nc == 1
+    G, D, C = define_G(cfg), define_D(cfg), define_C(cfg)
+    c_vars = init_params(C, jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3)))
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (16, 32, 32, 3)) * 2 - 1
+    bins = jax.random.randint(jax.random.PRNGKey(3), (16,), 0, 4)
+    anchors = compute_bin_anchors(C, c_vars, imgs, bins, 4)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10,
+                               c_vars=c_vars, bin_anchors=anchors)
+    # score normalization range picked up from the anchor means
+    assert float(state.score_min) == float(anchors[2][0])
+    assert float(state.score_max) == float(anchors[2][-1])
+    # pool carries 1-wide conds in score mode
+    assert state.pool.conds.shape[-1] == 1
+    step = jax.jit(make_train_step(cfg, G, D, C))
+    new_state, m = step(state, make_batch(0, cfg))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert float(m["loss_G_cond"]) != 0.0
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    g1 = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    assert float(jnp.max(jnp.abs(g0 - g1))) > 0
+
+
+def test_score_mode_without_comparator_falls_back_to_bin_ladder():
+    """Score mode must train without a comparator too (bin-derived scores)."""
+    base = tiny_cfg()
+    cfg = Config(
+        data=base.data,
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                          dtype="float32", cond_mode="score"),
+        train=TrainConfig(pool_size=8, lambda_L1=10.0, lambda_cond=0.0))
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    _, m = step(state, make_batch(0, cfg))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_score_normalization_roundtrip():
+    from pcgan_tpu.data.binning import denormalize_score, normalize_score
+    lo, hi = -3.2, 5.1
+    raw = jnp.linspace(lo, hi, 7)
+    s = normalize_score(raw, lo, hi)
+    assert float(s[0]) == -1.0 and float(s[-1]) == 1.0
+    back = denormalize_score(s, lo, hi)
+    assert float(jnp.max(jnp.abs(back - raw))) < 1e-5
+    # out-of-range raw scores clip to the conditioning interval ends
+    assert float(normalize_score(jnp.float32(hi + 10), lo, hi)) == 1.0
+
+
+def test_plateau_scheduler_decays_on_stagnation():
+    from pcgan_tpu.train import PlateauScheduler
+    ps = PlateauScheduler(factor=0.5, patience=2, threshold=0.01)
+    # improving: no decay
+    for m in (1.0, 0.9, 0.8, 0.7):
+        assert ps.update(m) == 1.0
+    # stalled: decay after patience+1 bad epochs
+    assert ps.update(0.7) == 1.0
+    assert ps.update(0.7) == 1.0
+    assert ps.update(0.7) == 0.5
+    # improvement resets; another stall decays again
+    assert ps.update(0.3) == 0.5
+    for _ in range(3):
+        s = ps.update(0.3)
+    assert s == 0.25
+    # floor
+    for _ in range(100):
+        s = ps.update(0.3)
+    assert s >= ps.min_scale
+
+
+def test_lr_scale_zero_freezes_params():
+    """state.lr_scale multiplies both optimizers' updates — at 0 the step
+    must leave every parameter untouched (the plateau transport mechanism)."""
+    cfg = tiny_cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    state = state.replace(lr_scale=jnp.float32(0.0))
+    step = jax.jit(make_train_step(cfg, G, D))
+    new_state, _ = step(state, make_batch(0, cfg))
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(new_state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.d_params),
+                    jax.tree_util.tree_leaves(new_state.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_lr_schedules():

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Profile the fused train step on the attached accelerator and mine the
+trace (VERDICT r1 item 3 / SURVEY.md SS6 tracing row).
+
+Runs the headline bench config (resnet_9blocks G + basic D, 128px bf16,
+pool on, device preprocessing) for N profiled steps with a perfetto trace,
+then aggregates device-track slice durations into an op-class breakdown:
+
+    python tools/profile_step.py [--steps 10] [--batch 64] [--size 128]
+        [--out docs/trace_128.json]
+
+Prints the top ops by total device time and the share of time in
+convolution/matmul (MXU) vs elementwise/reduce (VPU) vs data movement,
+and writes the aggregate as JSON for docs/perf_notes.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def run_and_trace(cfg, steps: int, trace_dir: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgan_tpu.models import define_D, define_G
+    from pcgan_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    shard_train_state)
+    from pcgan_tpu.train import create_train_state
+
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    state = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 1000), mesh)
+    step = make_parallel_train_step(cfg, G, D, mesh=mesh,
+                                    steps_per_epoch=1000,
+                                    with_preprocess=True)
+    rng = np.random.default_rng(0)
+    raw = {
+        "image": jnp.asarray(rng.integers(
+            0, 256, (cfg.data.batch_size, 200, 200, 3), dtype=np.uint8)),
+        "bin": jnp.asarray(rng.integers(0, cfg.data.n_age_bins,
+                                        cfg.data.batch_size, dtype=np.int32)),
+    }
+    for _ in range(5):          # compile + steady state
+        state, m = step(state, raw)
+    float(jax.device_get(m["loss_G"]))
+    jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
+    for _ in range(steps):
+        state, m = step(state, raw)
+    float(jax.device_get(m["loss_G"]))   # sync inside the trace window
+    jax.profiler.stop_trace()
+
+
+# --------------------------------------------------------------------------- #
+# perfetto trace mining
+# --------------------------------------------------------------------------- #
+
+_CLASSES = (
+    ("conv/matmul (MXU)", ("conv", "dot", "matmul", "einsum", "gemm")),
+    ("copy/transpose/layout", ("copy", "transpose", "bitcast", "reshape",
+                               "layout")),
+    ("dynamic-update/scatter (pool)", ("dynamic-update", "dynamic_update",
+                                       "scatter")),
+    ("rng", ("rng", "threefry", "random")),
+    ("reduce/norm", ("reduce", "norm", "variance", "mean")),
+    ("elementwise/fusion", ("fusion", "add", "multiply", "subtract", "tanh",
+                            "maximum", "select", "compare", "convert",
+                            "exponential", "rsqrt", "loop")),
+)
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    for cls, keys in _CLASSES:
+        if any(k in n for k in keys):
+            return cls
+    return "other"
+
+
+def mine_perfetto(trace_dir: str, top_k: int = 25):
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no perfetto trace under {trace_dir}")
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"] if isinstance(trace, dict) else trace
+
+    # device tracks: the TPU/accelerator op lanes (exclude host python/XLA
+    # compile threads). Identify per-pid names from metadata events.
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+
+    def is_device(pid):
+        n = pid_names.get(pid, "").lower()
+        return any(k in n for k in ("tpu", "device", "accelerator", "/job:")) \
+            and "host" not in n
+
+    per_op = collections.Counter()
+    per_class = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if not is_device(e.get("pid")):
+            continue
+        name = e.get("name", "?")
+        dur = float(e["dur"])      # microseconds
+        per_op[name] += dur
+        per_class[classify(name)] += dur
+        total += dur
+    return {
+        "trace_file": files[-1],
+        "total_device_us": total,
+        "device_tracks": sorted({v for k, v in pid_names.items()
+                                 if is_device(k)}),
+        "by_class": {k: {"us": round(v, 1), "pct": round(100 * v / total, 2)}
+                     for k, v in per_class.most_common()},
+        "top_ops": [{"name": k, "us": round(v, 1),
+                     "pct": round(100 * v / total, 2)}
+                    for k, v in per_op.most_common(top_k)],
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--trace_dir", default="/tmp/pcgan_trace")
+    p.add_argument("--out", default="")
+    p.add_argument("--mine_only", action="store_true",
+                   help="skip running; just mine an existing trace_dir")
+    args = p.parse_args()
+
+    if not args.mine_only:
+        from pcgan_tpu.platform import respect_env_platform
+        respect_env_platform()
+        from pcgan_tpu.config import (Config, DataConfig, ModelConfig,
+                                      TrainConfig)
+        cfg = Config(
+            data=DataConfig(batch_size=args.batch, crop_size=args.size,
+                            load_size=int(args.size * 143 / 128),
+                            n_age_bins=10),
+            model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
+                              remat=args.size >= 256 and args.batch > 16),
+            train=TrainConfig(
+                pool_size=((50 + args.batch - 1) // args.batch) * args.batch))
+        run_and_trace(cfg, args.steps, args.trace_dir)
+
+    rep = mine_perfetto(args.trace_dir)
+    print(json.dumps(rep, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rep, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

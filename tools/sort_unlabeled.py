@@ -59,7 +59,7 @@ def main(argv=None):
         train=TrainConfig(comparator_path=args.comparator_path))
 
     from pcgan_tpu.eval_lib import load_comparator_bundle
-    C, c_vars, lo, hi = load_comparator_bundle(cfg)
+    C, c_vars, lo, hi, _means = load_comparator_bundle(cfg)
 
     ds = UTKFaceDataset(args.dataroot, require_age=False)
     ld = Loader(ds, args.batch_size, shuffle=False, drop_last=False,

@@ -101,7 +101,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
 
     G, D = define_G(cfg), define_D(cfg)
     C = c_vars = bin_anchors = None
-    if cfg.train.comparator_path and cfg.train.lambda_cond > 0:
+    # score mode consumes the comparator even at lambda_cond=0: real images
+    # are conditioned on their own comparator score (label-free conditioning)
+    if cfg.train.comparator_path and (
+            cfg.train.lambda_cond > 0 or cfg.model.cond_mode == "score"):
         C = define_C(cfg)
         c_vars, bin_anchors = _load_comparator(cfg)
         print(f"loaded frozen comparator from {cfg.train.comparator_path}",
@@ -152,7 +155,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # device array captured here would be deleted after the first step
         cmp_bundle = (C, jax.device_get(c_vars),
                       jax.device_get(state.bin_lo),
-                      jax.device_get(state.bin_hi)) if C else None
+                      jax.device_get(state.bin_hi),
+                      jax.device_get(bin_anchors[2])
+                      if bin_anchors and len(bin_anchors) > 2 else None
+                      ) if C else None
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle)
         eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
                          num_threads=cfg.data.num_threads)
@@ -168,9 +174,23 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                        {("eval_" + k): float(v) for k, v in rec.items()},
                        epoch=epoch)
 
+    plateau = None
+    lr_scale = 1.0
+    if t.lr_policy == "plateau":
+        # metric-driven decay is host-side by design: the jitted step cannot
+        # observe logged losses, so the factor rides in as the replicated
+        # state.lr_scale scalar (SURVEY.md SS2 C14)
+        from pcgan_tpu.train import PlateauScheduler
+        plateau = PlateauScheduler()
+        # resume keeps the decayed factor (it lives in the checkpointed state)
+        lr_scale = float(jax.device_get(state.lr_scale))
+        plateau.scale = lr_scale
+
     gstep = int(state.step)
     for epoch in range(t.epoch_count, total_epochs + 1):
         epoch_t0 = time.time()
+        epoch_losses = []
+        metrics = None
         timer.start()
         for raw in _epoch_iter(cfg, ld, mesh):
             _profile_tick(profiling, run_dir)
@@ -185,11 +205,23 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 # and avoids a host round-trip per scalar
                 host_metrics = jax.device_get(metrics)
                 rate = timer.rate()
+                epoch_losses.append(float(host_metrics["loss_G"]))
                 logger.log(gstep,
                            {k: float(v) for k, v in host_metrics.items()},
                            epoch=epoch, imgs_per_sec=rate,
-                           lr=float(sched(gstep)))
+                           lr=float(sched(gstep)) * lr_scale)
                 timer.start()
+        if plateau is not None and metrics is not None:
+            metric = (float(np.mean(epoch_losses)) if epoch_losses
+                      else float(jax.device_get(metrics)["loss_G"]))
+            new_scale = plateau.update(metric)
+            if new_scale != lr_scale:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                lr_scale = new_scale
+                state = state.replace(lr_scale=jax.device_put(
+                    jnp.float32(lr_scale), NamedSharding(mesh, P())))
+                print(f"plateau: loss_G stalled at {metric:.4f}, lr scale -> "
+                      f"{lr_scale:g}", flush=True)
             if gstep % t.save_latest_freq == 0:
                 ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                           "latest")
@@ -203,6 +235,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
             ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
                                 "latest")
+            removed = ckpt.prune_epochs(cfg.run.checkpoints_dir, cfg.run.name,
+                                        t.max_ckpt_keep)
+            if removed:
+                print(f"pruned old checkpoints: {removed}", flush=True)
         if fid_eval is not None and epoch % t.eval_fid_epoch_freq == 0:
             fid_eval(state, epoch)
         print(f"End of epoch {epoch}/{total_epochs} \t "
@@ -288,14 +324,19 @@ def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     from pcgan_tpu.models import define_C
     from pcgan_tpu.parallel import make_parallel_comparator_step
     from pcgan_tpu.parallel.mesh import batch_sharding
-    from pcgan_tpu.train import (compute_bin_anchors, create_comparator_state)
+    from pcgan_tpu.train import (compute_bin_anchors, compute_quantile_anchors,
+                                 create_comparator_state)
     from pcgan_tpu.utils import checkpoint as ckpt
     from pcgan_tpu.ops.preprocess import make_preprocess
 
-    # pairwise dataset regardless of requested mode
-    pair_cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, dataset_mode="pairwise"))
-    ds = data_loader.create_dataset(pair_cfg, train=True)
+    if cfg.data.dataset_mode == "comparisons":
+        # real human annotations (pathA,pathB,label CSV) — keep as requested
+        ds = data_loader.create_dataset(cfg, train=True)
+    else:
+        # age-labeled source: synthesize pairwise labels with a tie threshold
+        pair_cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, dataset_mode="pairwise"))
+        ds = data_loader.create_dataset(pair_cfg, train=True)
     ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=True,
                             num_threads=cfg.data.num_threads,
                             seed=cfg.train.seed)
@@ -318,29 +359,41 @@ def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                            epoch=epoch)
         print(f"End of comparator epoch {epoch}/{total_epochs}", flush=True)
 
-    # compute bin anchors on (a subset of) the base data, save everything
-    base = ds.base
+    # compute score anchors on (a subset of) the underlying images: by age
+    # bins when the source has ages, by score quantiles when it is a pure
+    # comparisons CSV (no ages anywhere — the paper's label-free setting)
+    label_free = hasattr(ds, "image_pool_dataset")
+    base = ds.image_pool_dataset() if label_free else ds.base
     n_anchor = min(len(base), 512)
     pre = make_preprocess(cfg, train=False)
     imgs, bins = [], []
-    edges_it = with_bins(
-        iter(data_loader.Loader(base, min(cfg.data.batch_size, n_anchor),
-                                shuffle=False,
-                                num_threads=cfg.data.num_threads)),
-        cfg.data.n_age_bins, cfg.data.max_age)
+    base_it = iter(data_loader.Loader(
+        base, min(cfg.data.batch_size, n_anchor), shuffle=False,
+        drop_last=False, num_threads=cfg.data.num_threads))
+    if not label_free:
+        base_it = with_bins(base_it, cfg.data.n_age_bins, cfg.data.max_age)
     seen = 0
-    for b in edges_it:
+    for b in base_it:
         out = pre(jax.random.PRNGKey(0), {"image": jnp.asarray(b["image"])})
         imgs.append(out["image"])
-        bins.append(jnp.asarray(b["bin"]))
+        if not label_free:
+            bins.append(jnp.asarray(b["bin"]))
         seen += b["image"].shape[0]
         if seen >= n_anchor:
             break
     imgs = jnp.concatenate(imgs)[:n_anchor]
-    bins = jnp.concatenate(bins)[:n_anchor]
     c_vars = {"params": state.params, **state.state}
-    lo, hi = compute_bin_anchors(C, c_vars, imgs, bins, cfg.data.n_age_bins)
-    payload = {"c_vars": c_vars, "bin_lo": lo, "bin_hi": hi}
+    if label_free:
+        lo, hi, means = compute_quantile_anchors(C, c_vars, imgs,
+                                                 cfg.data.n_age_bins)
+    else:
+        bins = jnp.concatenate(bins)[:n_anchor]
+        lo, hi, means = compute_bin_anchors(C, c_vars, imgs, bins,
+                                            cfg.data.n_age_bins)
+    # bin_means carries the score-mode normalization range (--cond_mode score
+    # consumes means[0]/means[-1] as the raw comparator-score extremes)
+    payload = {"c_vars": c_vars, "bin_lo": lo, "bin_hi": hi,
+               "bin_means": means}
     path = ckpt.save(payload, cfg.run.checkpoints_dir, cfg.run.name,
                      "comparator", wait=True)
     print(f"saved comparator + bin anchors to {path}", flush=True)
@@ -355,8 +408,8 @@ def _shard_iter(ld, mesh):
 def _load_comparator(cfg):
     """comparator_path: checkpoints-style dir saved by `--model comparator`."""
     from pcgan_tpu.eval_lib import load_comparator_bundle
-    _, c_vars, lo, hi = load_comparator_bundle(cfg)
-    return c_vars, (lo, hi)
+    _, c_vars, lo, hi, means = load_comparator_bundle(cfg)
+    return c_vars, (lo, hi, means)
 
 
 if __name__ == "__main__":
