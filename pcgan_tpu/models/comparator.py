@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcgan_tpu.models.layers import Norm, TorchConv, norm_uses_bias
+from pcgan_tpu.models.layers import Norm, TorchConv, conv_bias_before_norm
 
 Dtype = Any
 
@@ -66,7 +66,7 @@ class Comparator(nn.Module):
         embedding (N, nf*4) — the pretrained, face-aware feature space used
         by ``--fid_features comparator`` (SURVEY.md SS6 metrics row).
         """
-        use_bias = norm_uses_bias(self.norm)
+        use_bias = conv_bias_before_norm(self.norm)   # normed convs: see layers.py
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
         h = x.astype(self.dtype)
         for i in range(self.n_down):

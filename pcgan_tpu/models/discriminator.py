@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pcgan_tpu.models.generator import broadcast_cond
-from pcgan_tpu.models.layers import Norm, TorchConv, norm_uses_bias
+from pcgan_tpu.models.layers import Norm, TorchConv, conv_bias_before_norm
 
 Dtype = Any
 
@@ -42,7 +42,8 @@ class NLayerDiscriminator(nn.Module):
         if cond is not None:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
-        use_bias = norm_uses_bias(self.norm)
+        # mid convs feed a norm -> inert bias dropped (see layers.py)
+        use_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
 
         h = TorchConv(self.ndf, 4, 2, 1, use_bias=True, **kw)(x)
@@ -73,7 +74,7 @@ class PixelDiscriminator(nn.Module):
         if cond is not None:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
-        use_bias = norm_uses_bias(self.norm)
+        use_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
         h = TorchConv(self.ndf, 1, 1, 0, use_bias=True, **kw)(x)
         h = nn.leaky_relu(h, 0.2)

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pcgan_tpu.models.layers import (
-    Norm, ResizeConv, TorchConv, TorchConvTranspose, norm_uses_bias, pad2d)
+    Norm, ResizeConv, TorchConv, TorchConvTranspose, conv_bias_before_norm,
+    norm_uses_bias)
 
 Dtype = Any
 
@@ -56,16 +57,18 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        use_bias = norm_uses_bias(self.norm)
-        h = pad2d(x, 1, self.pad_mode)
-        h = TorchConv(self.dim, 3, 1, 0, use_bias=use_bias, dtype=self.dtype,
-                      kernel_init=self.kernel_init)(h)
+        # both convs feed a norm: bias dropped where provably inert; the
+        # reflect padding rides inside TorchConv (fused-backward form)
+        use_bias = conv_bias_before_norm(self.norm)
+        h = TorchConv(self.dim, 3, 1, 1, pad_mode=self.pad_mode,
+                      use_bias=use_bias, dtype=self.dtype,
+                      kernel_init=self.kernel_init)(x)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
-        h = pad2d(h, 1, self.pad_mode)
-        h = TorchConv(self.dim, 3, 1, 0, use_bias=use_bias, dtype=self.dtype,
+        h = TorchConv(self.dim, 3, 1, 1, pad_mode=self.pad_mode,
+                      use_bias=use_bias, dtype=self.dtype,
                       kernel_init=self.kernel_init)(h)
         h = Norm(self.norm, self.dtype)(h, train)
         return x + h
@@ -88,6 +91,8 @@ class ResnetGenerator(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                  train: bool = True) -> jnp.ndarray:
         """x: (N,H,W,input_nc) in [-1,1]; cond: (N,cond_nc). Returns (N,H,W,out_nc)."""
+        # convs feeding a norm drop their bias when the norm makes it inert
+        norm_bias = conv_bias_before_norm(self.norm)
         use_bias = norm_uses_bias(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
 
@@ -95,14 +100,14 @@ class ResnetGenerator(nn.Module):
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
 
-        h = pad2d(x, 3, "reflect")
-        h = TorchConv(self.ngf, 7, 1, 0, use_bias=use_bias, **kw)(h)
+        h = TorchConv(self.ngf, 7, 1, 3, pad_mode="reflect",
+                      use_bias=norm_bias, **kw)(x)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.relu(h)
 
         for i in range(self.n_downsampling):
             mult = 2 ** i
-            h = TorchConv(self.ngf * mult * 2, 3, 2, 1, use_bias=use_bias, **kw)(h)
+            h = TorchConv(self.ngf * mult * 2, 3, 2, 1, use_bias=norm_bias, **kw)(h)
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.relu(h)
 
@@ -110,6 +115,7 @@ class ResnetGenerator(nn.Module):
             h = jnp.concatenate(
                 [h, broadcast_cond(cond, h.shape[1], h.shape[2], h.dtype)], -1)
             # project back to the resnet trunk width so blocks stay residual
+            # (no norm follows -> bias stays live)
             mult = 2 ** self.n_downsampling
             h = TorchConv(self.ngf * mult, 1, 1, 0, use_bias=use_bias, **kw)(h)
 
@@ -126,15 +132,15 @@ class ResnetGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             feats = int(self.ngf * mult / 2)
             if self.upsample == "deconv":
-                h = TorchConvTranspose(feats, 3, 2, 1, 1, use_bias=use_bias,
+                h = TorchConvTranspose(feats, 3, 2, 1, 1, use_bias=norm_bias,
                                        **kw)(h)
             else:
-                h = ResizeConv(feats, 2, use_bias=use_bias, **kw)(h)
+                h = ResizeConv(feats, 2, use_bias=norm_bias, **kw)(h)
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.relu(h)
 
-        h = pad2d(h, 3, "reflect")
-        h = TorchConv(self.output_nc, 7, 1, 0, use_bias=True, **kw)(h)
+        h = TorchConv(self.output_nc, 7, 1, 3, pad_mode="reflect",
+                      use_bias=True, **kw)(h)
         return jnp.tanh(h.astype(jnp.float32))
 
 
@@ -154,13 +160,18 @@ class UnetSkipBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         use_bias = norm_uses_bias(self.norm)
+        # a conv that feeds this level's norm drops its inert bias
+        norm_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
 
-        # down
+        # down (outer/innermost down convs feed relu/submodule, not a norm)
+        down_normed = not (self.outermost or self.innermost)
         h = x if self.outermost else nn.leaky_relu(x, 0.2)
-        h = TorchConv(self.inner_nc, 4, 2, 1, use_bias=use_bias or self.outermost,
+        h = TorchConv(self.inner_nc, 4, 2, 1,
+                      use_bias=(norm_bias if down_normed
+                                else use_bias or self.outermost),
                       **kw)(h)
-        if not (self.outermost or self.innermost):
+        if down_normed:
             h = Norm(self.norm, self.dtype)(h, train)
 
         if self.submodule is not None:
@@ -172,7 +183,7 @@ class UnetSkipBlock(nn.Module):
             h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=True,
                                    **kw)(h)
             return jnp.tanh(h.astype(jnp.float32))
-        h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=use_bias,
+        h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=norm_bias,
                                **kw)(h)
         h = Norm(self.norm, self.dtype)(h, train)
         if self.use_dropout:

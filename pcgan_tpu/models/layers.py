@@ -88,9 +88,19 @@ def _conv_precision(dtype) -> jax.lax.Precision:
 class TorchConv(nn.Module):
     """torch ``nn.Conv2d(in, out, k, stride=s, padding=p, bias=b)`` in NHWC.
 
-    Padding is applied explicitly (supports reflect/replicate used by the
-    reference's ResnetGenerator blocks) so XLA sees a VALID conv it can tile
-    directly onto the MXU.
+    Padding strategy (TPU-first):
+    - zero: handed to ``conv_general_dilated`` as explicit padding — the pad
+      lives INSIDE the conv primitive, so its transpose is just another conv
+      (no separate pad-backward pass).
+    - reflect/replicate: explicit pad + VALID conv. An exact
+      zero-pad-conv + border-correction decomposition (``reflect_conv``)
+      was built and measured as an alternative (``fused_reflect=True``):
+      on v5e @128px batch 64 it is a net LOSS — the correction updates
+      lower to dynamic-update-slices/scatter-adds plus layout copies that
+      cost more than the ~11 ms/step of materialized-pad backward
+      ``add_any`` they remove (p=3 stem/tail: 107.1 vs 97.9 ms/step;
+      p=1 blocks only: 638 vs 645 imgs/s). Kept available + tested for
+      future XLA versions / other workloads; off by default.
     """
 
     features: int
@@ -99,30 +109,101 @@ class TorchConv(nn.Module):
     padding: int = 0
     pad_mode: str = "zero"
     use_bias: bool = True
+    fused_reflect: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = self.kernel_size
+        k, p = self.kernel_size, self.padding
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
             jnp.float32)
-        x = pad2d(x, self.padding, self.pad_mode)
         # no preferred_element_type: an f32 output from bf16 inputs breaks the
         # conv VJP (mixed-dtype cotangent). MXU accumulation is f32-internal
         # for bf16 inputs regardless; f32 modules force HIGHEST precision.
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding="VALID", dimension_numbers=_DIMS,
-            precision=_conv_precision(self.dtype),
-        )
+        prec = _conv_precision(self.dtype)
+        xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+        if (self.fused_reflect and self.pad_mode == "reflect"
+                and self.stride == 1 and p > 0 and k == 2 * p + 1
+                and min(x.shape[1], x.shape[2]) >= p + 2):
+            y = reflect_conv(xd, kd, p, precision=prec)
+        elif self.pad_mode == "zero":
+            y = jax.lax.conv_general_dilated(
+                xd, kd, window_strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)), dimension_numbers=_DIMS,
+                precision=prec)
+        else:
+            y = jax.lax.conv_general_dilated(
+                pad2d(xd, p, self.pad_mode), kd,
+                window_strides=(self.stride, self.stride),
+                padding="VALID", dimension_numbers=_DIMS, precision=prec)
         if self.use_bias:
             bias = self.param("bias", jax.nn.initializers.zeros,
                               (self.features,), jnp.float32)
             y = y + bias
         return y.astype(self.dtype)
+
+
+def reflect_conv(x: jnp.ndarray, kernel: jnp.ndarray, p: int,
+                 precision=None) -> jnp.ndarray:
+    """Stride-1 conv with torch ReflectionPad2d(p), k = 2p+1, WITHOUT
+    materializing the padded tensor.
+
+    out = conv(x, zero-pad p) + border corrections:
+      - top/bottom: for kernel row r reading reflected rows, a 1xk conv over
+        the (p-r)-row strip of reflected source rows, with column-reflected
+        ends (this also covers the doubly-reflected corners);
+      - left/right: for kernel col c reading reflected cols, a kx1 conv over
+        the source-col strip with ZERO row padding, which excludes the
+        row-out-of-range terms the top/bottom pass already added.
+    Each correction is a thin (<= p wide) conv — backward through them is
+    negligible, and the main conv's pad transposes into the conv itself.
+    Bit-identical to pad-then-VALID up to float association (tested).
+    """
+    n, h, w, _ = x.shape
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
+        dimension_numbers=_DIMS, precision=precision)
+
+    def colpad(rows):
+        # reflected column ends: positions -p..-1 = cols p..1,
+        # positions W..W+p-1 = cols W-2..W-1-p
+        left = rows[:, :, p:0:-1]
+        right = rows[:, :, w - 2:w - 2 - p:-1]
+        return jnp.concatenate([left, rows, right], axis=2)
+
+    for r in range(p):
+        nr = p - r
+        # top: out rows i < nr miss kernel row r reading x-row (p - i - r)
+        strip = colpad(x[:, p - r:0:-1])                 # rows p-r .. 1
+        corr = jax.lax.conv_general_dilated(
+            strip, kernel[r:r + 1], (1, 1), "VALID",
+            dimension_numbers=_DIMS, precision=precision)
+        y = y.at[:, :nr].add(corr)
+        # bottom: kernel row k-1-r reads reflected rows below the image
+        rb = 2 * p - r                                   # kernel row index
+        strip = colpad(x[:, h - 1 - p + r:h - 1])        # rows h-1-(p-r) .. h-2
+        corr = jax.lax.conv_general_dilated(
+            strip, kernel[rb:rb + 1], (1, 1), "VALID",
+            dimension_numbers=_DIMS, precision=precision)
+        y = y.at[:, h - nr:].add(corr[:, ::-1])
+    for c in range(p):
+        nc = p - c
+        # left: out cols j < nc miss kernel col c reading x-col (p - j - c);
+        # zero row padding keeps only row-in-range terms
+        strip = x[:, :, p - c:0:-1]                      # cols p-c .. 1
+        corr = jax.lax.conv_general_dilated(
+            strip, kernel[:, c:c + 1], (1, 1), ((p, p), (0, 0)),
+            dimension_numbers=_DIMS, precision=precision)
+        y = y.at[:, :, :nc].add(corr)
+        cb = 2 * p - c
+        strip = x[:, :, w - 1 - p + c:w - 1]             # cols w-1-(p-c) .. w-2
+        corr = jax.lax.conv_general_dilated(
+            strip, kernel[:, cb:cb + 1], (1, 1), ((p, p), (0, 0)),
+            dimension_numbers=_DIMS, precision=precision)
+        y = y.at[:, :, w - nc:].add(corr[:, :, ::-1])
+    return y
 
 
 class TorchConvTranspose(nn.Module):
@@ -254,3 +335,22 @@ def norm_uses_bias(kind: str) -> bool:
     """The reference template disables conv bias when the following norm has
     affine params (batch); instance norm (no affine) keeps conv bias."""
     return kind != "batch"
+
+
+def conv_bias_before_norm(kind: str) -> bool:
+    """Whether a conv IMMEDIATELY followed by this norm should carry a bias.
+
+    batch: False — torch-template behavior (BN's own shift absorbs it).
+    instance (affine=False): False — a per-channel constant is removed
+      EXACTLY by the per-(n, c) spatial mean subtraction, so the bias is
+      forward-inert and its gradient is identically zero. The reference
+      keeps these dead biases (torch Conv2d default); carrying them here
+      costs a full-cotangent reduce_sum per conv in the backward pass —
+      measured 7.8 ms/step (7.4%) at 128px batch 64 on v5e. Dropping them
+      is bit-equivalent (our bias init is zeros and the grad is zero, so
+      they would stay zero forever anyway); the .pth importer skips the
+      reference checkpoints' inert bias tensors at these sites.
+    group: True — the mean is per-GROUP, so a per-channel bias is live.
+    none: True.
+    """
+    return kind in ("group", "none")

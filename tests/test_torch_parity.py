@@ -74,3 +74,52 @@ def test_reflection_pad_matches_torch(np_rng):
     ref = torch.nn.ReflectionPad2d(3)(torch.from_numpy(x)).numpy()
     out = pad2d(_to_jax_nhwc(x), 3, "reflect")
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref)
+
+
+@pytest.mark.parametrize("p,hw", [(1, 8), (3, 8), (1, 32), (3, 7)])
+def test_reflect_conv_matches_pad_then_valid(p, hw, np_rng):
+    """The fused-backward reflect conv (zero-pad conv + thin border
+    corrections) must equal ReflectionPad2d(p) + VALID conv per-pixel —
+    including the doubly-reflected corners."""
+    from pcgan_tpu.models.layers import reflect_conv
+    k = 2 * p + 1
+    n, cin, cout = 2, 5, 4
+    x = jnp.asarray(np_rng.normal(size=(n, hw, hw, cin)).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        pad2d(x, p, "reflect"), w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    got = reflect_conv(x, w, p, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("p", [1, 3])
+def test_reflect_conv_gradients_match(p, np_rng):
+    """Backward parity too: grads w.r.t. input and kernel agree with the
+    materialized-pad formulation."""
+    from pcgan_tpu.models.layers import reflect_conv
+    k = 2 * p + 1
+    x = jnp.asarray(np_rng.normal(size=(1, 9, 9, 3)).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(k, k, 3, 2)).astype(np.float32))
+
+    def ref_loss(x, w):
+        y = jax.lax.conv_general_dilated(
+            pad2d(x, p, "reflect"), w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(jnp.sin(y))
+
+    def fast_loss(x, w):
+        y = reflect_conv(x, w, p, precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(jnp.sin(y))
+
+    gx_ref, gw_ref = jax.grad(ref_loss, argnums=(0, 1))(x, w)
+    gx, gw = jax.grad(fast_loss, argnums=(0, 1))(x, w)
+    # exact math; tolerance covers f32 accumulation-order noise only
+    # (measured ~5e-5 abs on grads of magnitude ~20)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-3, atol=2e-4)

@@ -65,23 +65,17 @@ def run_and_trace(cfg, steps: int, trace_dir: str):
 # perfetto trace mining
 # --------------------------------------------------------------------------- #
 
-_CLASSES = (
-    ("conv/matmul (MXU)", ("conv", "dot", "matmul", "einsum", "gemm")),
-    ("copy/transpose/layout", ("copy", "transpose", "bitcast", "reshape",
-                               "layout")),
-    ("dynamic-update/scatter (pool)", ("dynamic-update", "dynamic_update",
-                                       "scatter")),
-    ("rng", ("rng", "threefry", "random")),
-    ("reduce/norm", ("reduce", "norm", "variance", "mean")),
-    ("elementwise/fusion", ("fusion", "add", "multiply", "subtract", "tanh",
-                            "maximum", "select", "compare", "convert",
-                            "exponential", "rsqrt", "loop")),
-)
-
-
-def classify(name: str) -> str:
+def classify(name: str, args: dict) -> str:
+    """Prefer the profiler's own hlo_category; fall back to name keywords."""
+    cat = args.get("hlo_category")
+    if cat:
+        return cat
     n = name.lower()
-    for cls, keys in _CLASSES:
+    for cls, keys in (
+            ("convolution", ("conv", "dot", "matmul", "einsum", "gemm")),
+            ("data movement", ("copy", "transpose", "bitcast", "reshape")),
+            ("rng", ("rng", "threefry", "random")),
+    ):
         if any(k in n for k in keys):
             return cls
     return "other"
@@ -96,41 +90,68 @@ def mine_perfetto(trace_dir: str, top_k: int = 25):
         trace = json.load(f)
     events = trace["traceEvents"] if isinstance(trace, dict) else trace
 
-    # device tracks: the TPU/accelerator op lanes (exclude host python/XLA
-    # compile threads). Identify per-pid names from metadata events.
-    pid_names = {}
+    # use ONLY the leaf op lane ('XLA Ops' tid on a device pid): the 'Steps'
+    # and 'XLA Modules' lanes are parent slices that would double-count
+    pid_names, tid_names = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
 
-    def is_device(pid):
-        n = pid_names.get(pid, "").lower()
-        return any(k in n for k in ("tpu", "device", "accelerator", "/job:")) \
-            and "host" not in n
+    def is_device_ops(pid, tid):
+        pn = pid_names.get(pid, "").lower()
+        tn = tid_names.get((pid, tid), "")
+        return (("tpu" in pn or "device" in pn) and "host" not in pn
+                and tn == "XLA Ops")
 
-    per_op = collections.Counter()
+    per_op = collections.Counter()           # by tf_op (semantic site)
+    per_op_meta = {}
     per_class = collections.Counter()
     total = 0.0
+    step_durs = [float(e["dur"]) for e in events
+                 if e.get("ph") == "X" and "dur" in e
+                 and tid_names.get((e["pid"], e.get("tid"))) == "Steps"]
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if not is_device(e.get("pid")):
+        if not is_device_ops(e.get("pid"), e.get("tid")):
             continue
-        name = e.get("name", "?")
+        args = e.get("args", {})
         dur = float(e["dur"])      # microseconds
-        per_op[name] += dur
-        per_class[classify(name)] += dur
+        key = args.get("tf_op", e.get("name", "?")).rstrip(":")
+        per_op[key] += dur
+        m = per_op_meta.setdefault(key, {"flops": 0.0, "bytes": 0.0,
+                                         "category": classify(
+                                             e.get("name", "?"), args)})
+        m["flops"] += float(args.get("model_flops", 0) or 0)
+        m["bytes"] += float(args.get("bytes_accessed", 0) or 0)
+        per_class[classify(e.get("name", "?"), args)] += dur
         total += dur
+    top = []
+    for k, v in per_op.most_common(top_k):
+        m = per_op_meta[k]
+        top.append({
+            "tf_op": k, "us": round(v, 1),
+            "pct": round(100 * v / total, 2),
+            "category": m["category"],
+            # achieved compute / bandwidth over the profiled window
+            "tflops_per_s": round(m["flops"] / (v * 1e6), 1) if m["flops"]
+            else None,
+            "gbytes_per_s": round(m["bytes"] / (v * 1e3), 0) if m["bytes"]
+            else None,
+        })
     return {
         "trace_file": files[-1],
         "total_device_us": total,
+        "steps": len(step_durs),
+        "mean_step_ms": round(sum(step_durs) / max(len(step_durs), 1) / 1e3,
+                              3),
         "device_tracks": sorted({v for k, v in pid_names.items()
-                                 if is_device(k)}),
+                                 if "host" not in v.lower()}),
         "by_class": {k: {"us": round(v, 1), "pct": round(100 * v / total, 2)}
                      for k, v in per_class.most_common()},
-        "top_ops": [{"name": k, "us": round(v, 1),
-                     "pct": round(100 * v / total, 2)}
-                    for k, v in per_op.most_common(top_k)],
+        "top_ops": top,
     }
 
 
