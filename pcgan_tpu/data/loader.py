@@ -85,7 +85,8 @@ class Loader:
         self.drop_last = drop_last
         self.shard_id = shard_id
         self.num_shards = max(1, num_shards)
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_threads))
+        self.num_threads = max(1, num_threads)
+        self.pool = ThreadPoolExecutor(max_workers=self.num_threads)
         self.epoch = 0
 
     def __len__(self):
@@ -107,6 +108,14 @@ class Loader:
             idx = order[b * self.bs:(b + 1) * self.bs]
             if len(idx) < self.bs and self.drop_last:
                 break
+            # native C++ batch decode when the dataset offers it (one FFI
+            # call, GIL-free thread pool); Python thread fan-out otherwise
+            gb = getattr(self.ds, "get_raw_batch", None)
+            if gb is not None:
+                batch = gb(idx, num_threads=self.num_threads)
+                if batch is not None:
+                    yield batch
+                    continue
             items = list(self.pool.map(self.ds.get_raw, idx))
             batch = {}
             for k in items[0]:

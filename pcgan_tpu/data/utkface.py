@@ -76,3 +76,22 @@ class UTKFaceDataset:
             img = img.resize((self.native, self.native),
                              self._Image.Resampling.BICUBIC)
         return {"image": np.asarray(img, np.uint8), "age": int(self.ages[i])}
+
+    def get_raw_batch(self, idx, num_threads: int = 8):
+        """Whole-batch decode through the native C++ thread pool
+        (pcgan_tpu/native) — bit-identical to get_raw for every image the
+        fast path serves; anything it reports (non-native size, CMYK,
+        corrupt stream) is filled by the per-image PIL path. Returns None
+        when the native library is unavailable or the batch contains
+        non-JPEG files — the caller then uses its own get_raw fan-out."""
+        from pcgan_tpu import native
+        paths = [self.paths[int(i)] for i in idx]
+        if not native.available() or not all(
+                p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return None
+        imgs, status = native.decode_batch(paths, self.native, self.native,
+                                           threads=num_threads)
+        for j in np.nonzero(status)[0]:
+            imgs[j] = self.get_raw(int(idx[j]))["image"]
+        ages = self.ages[np.asarray(idx, np.int64)]
+        return {"image": imgs, "age": ages.astype(np.int64)}

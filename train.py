@@ -222,11 +222,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                     jnp.float32(lr_scale), NamedSharding(mesh, P())))
                 print(f"plateau: loss_G stalled at {metric:.4f}, lr scale -> "
                       f"{lr_scale:g}", flush=True)
-            if gstep % t.save_latest_freq == 0:
-                ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
-                          "latest")
-                ckpt.save_generator(state, cfg.run.checkpoints_dir,
-                                    cfg.run.name, "latest")
+        if gstep % t.save_latest_freq == 0:
+            ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
+                      "latest")
+            ckpt.save_generator(state, cfg.run.checkpoints_dir,
+                                cfg.run.name, "latest")
         if epoch % t.save_epoch_freq == 0:
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       f"epoch_{epoch}")
@@ -241,6 +241,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 print(f"pruned old checkpoints: {removed}", flush=True)
         if fid_eval is not None and epoch % t.eval_fid_epoch_freq == 0:
             fid_eval(state, epoch)
+        # static loss curves next to metrics.jsonl (reference: visdom live
+        # plots via Visualizer.plot_current_losses; SURVEY.md SS2 C13)
+        from pcgan_tpu.utils.loss_plot import write_loss_plot
+        write_loss_plot(run_dir)
         print(f"End of epoch {epoch}/{total_epochs} \t "
               f"({time.time() - epoch_t0:.1f}s)", flush=True)
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
