@@ -40,7 +40,8 @@ def main(argv=None):
                            jnp.zeros((1, s, s, cfg.data.input_nc)),
                            jnp.zeros((1, cfg.cond_nc)), train=False)
     g_vars = ckpt.restore_generator(template, cfg.run.checkpoints_dir,
-                                    cfg.run.name, cfg.run.epoch)
+                                    cfg.run.name, cfg.run.epoch,
+                                    use_ema=cfg.run.use_ema)
 
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg))
     ds = data_loader.create_dataset(cfg, train=False)

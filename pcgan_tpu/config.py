@@ -101,6 +101,11 @@ class TrainConfig:
     # retention: keep only the newest N epoch_<k> checkpoints (0 = keep all,
     # the reference's behavior; full states are large at 256px)
     max_ckpt_keep: int = 5
+    # exponential moving average of G params (0 = off, the reference's
+    # behavior; >0 e.g. 0.999 keeps an EMA twin of G updated in-step and
+    # saved as {tag}_G_ema — a standard GAN quality lever the sampler can
+    # opt into with --use_ema)
+    ema_decay: float = 0.0
     # comparator pretraining
     comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
     # in-training eval (BASELINE config 5 streaming FID)
@@ -126,6 +131,7 @@ class RunConfig:
     results_dir: str = "./results"
     phase: str = "train"
     epoch: str = "latest"            # which checkpoint to load at test time
+    use_ema: bool = False            # sample from the EMA G twin ({tag}_G_ema)
     num_test: int = 50
     # FID feature space: 'random' (fixed-seed conv net, in-sandbox default),
     # 'comparator' (pretrained comparator trunk via --comparator_path), or
@@ -237,6 +243,7 @@ _FLAG_MAP = {
     "save_latest_freq": ("train", "save_latest_freq"),
     "save_epoch_freq": ("train", "save_epoch_freq"),
     "max_ckpt_keep": ("train", "max_ckpt_keep"),
+    "ema_decay": ("train", "ema_decay"),
     "comparator_path": ("train", "comparator_path"),
     "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
     "eval_fid_images": ("train", "eval_fid_images"),
@@ -244,6 +251,7 @@ _FLAG_MAP = {
     "results_dir": ("run", "results_dir"),
     "phase": ("run", "phase"),
     "epoch": ("run", "epoch"),
+    "use_ema": ("run", "use_ema"),
     "num_test": ("run", "num_test"),
     "fid_features": ("run", "fid_features"),
     "profile_steps": ("run", "profile_steps"),

@@ -139,6 +139,7 @@ class TrainState:
     lr_scale: jnp.ndarray               # host-driven LR factor (plateau policy)
     pool: image_pool.PoolState
     rng: jax.Array
+    ema_params: Any = None              # EMA twin of g_params (--ema_decay>0)
 
 
 def _split_vars(variables) -> Tuple[Any, Any]:
@@ -189,7 +190,12 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
         lr_scale=jnp.float32(1.0),
         pool=image_pool.init_pool(
             cfg.train.pool_size, (s, s, cfg.data.output_nc), cond_nc),
-        rng=rs)
+        rng=rs,
+        # EMA twin starts at a COPY of the init params (aliased buffers would
+        # be donated twice by the jitted step and crash Execute()); the
+        # in-step decay ramp ((1+t)/(10+t)) debiases the init
+        ema_params=(jax.tree.map(jnp.copy, g_params)
+                    if cfg.train.ema_decay > 0 else None))
 
 
 # --------------------------------------------------------------------------- #
@@ -370,6 +376,17 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         g_upd = jax.tree.map(lambda u: u * state.lr_scale, g_upd)
         new_g_params = optax.apply_updates(state.g_params, g_upd)
 
+        if t.ema_decay > 0 and state.ema_params is not None:
+            # EMA of G params (quality lever beyond the reference; off by
+            # default). Ramped decay min(d, (1+t)/(10+t)) debiases the init.
+            step_f = state.step.astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(t.ema_decay),
+                            (1.0 + step_f) / (10.0 + step_f))
+            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   state.ema_params, new_g_params)
+        else:
+            new_ema = state.ema_params
+
         metrics = {
             "loss_G": g_loss, "loss_G_GAN": l_g_gan,
             "loss_G_L1": l_g_l1, "loss_G_cond": l_g_cond,
@@ -385,7 +402,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             step=state.step + 1,
             g_params=new_g_params, g_state=new_g_state, g_opt=new_g_opt,
             d_params=new_d_params, d_state=new_d_state, d_opt=new_d_opt,
-            pool=new_pool, rng=state.rng)
+            pool=new_pool, rng=state.rng, ema_params=new_ema)
         return new_state, metrics
 
     return train_step

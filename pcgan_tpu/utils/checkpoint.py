@@ -59,21 +59,32 @@ def restore(target: Any, checkpoints_dir: str, name: str,
 
 
 def save_generator(state: Any, checkpoints_dir: str, name: str,
-                   tag: str = "latest", wait: bool = False) -> str:
+                   tag: str = "latest", wait: bool = False,
+                   use_ema: bool = False) -> str:
     """G-only checkpoint (the reference's ``{epoch}_net_G.pth`` surface):
     the sampler restores this without knowing training-time state shapes
-    (pool size, optimizer trees)."""
-    payload = {"g_params": state.g_params, "g_state": state.g_state}
-    return save(payload, checkpoints_dir, name, f"{tag}_G", wait=wait)
+    (pool size, optimizer trees). ``use_ema`` writes the EMA twin of the
+    params as ``{tag}_G_ema`` (requires --ema_decay>0 training)."""
+    params = state.g_params
+    if use_ema:
+        params = getattr(state, "ema_params", None)
+        if params is None:
+            raise ValueError("state has no EMA params (train with "
+                             "--ema_decay > 0)")
+    payload = {"g_params": params, "g_state": state.g_state}
+    suffix = "_G_ema" if use_ema else "_G"
+    return save(payload, checkpoints_dir, name, f"{tag}{suffix}", wait=wait)
 
 
 def restore_generator(g_variables_template: Any, checkpoints_dir: str,
-                      name: str, tag: str = "latest") -> Any:
+                      name: str, tag: str = "latest",
+                      use_ema: bool = False) -> Any:
     """Returns flax variables {'params': ..., **collections} for G.apply."""
     target = {"g_params": g_variables_template["params"],
               "g_state": {k: v for k, v in g_variables_template.items()
                           if k != "params"}}
-    out = restore(target, checkpoints_dir, name, f"{tag}_G")
+    suffix = "_G_ema" if use_ema else "_G"
+    out = restore(target, checkpoints_dir, name, f"{tag}{suffix}")
     return {"params": out["g_params"], **out["g_state"]}
 
 
@@ -94,7 +105,7 @@ def prune_epochs(checkpoints_dir: str, name: str, max_to_keep: int) -> list:
     base = os.path.join(checkpoints_dir, name)
     if not os.path.isdir(base):
         return []
-    pat = re.compile(r"^epoch_(\d+)(_G)?$")
+    pat = re.compile(r"^epoch_(\d+)(_G(_ema)?)?$")
     epochs = {}
     for d in os.listdir(base):
         m = pat.match(d)

@@ -40,15 +40,19 @@ def main(argv=None):
         G, jax.random.PRNGKey(0),
         jnp.zeros((1, s, s, cfg.data.input_nc)),
         jnp.zeros((1, cfg.cond_nc)), train=False)
+    suffix = "_G_ema" if cfg.run.use_ema else "_G"
     if not ckpt.exists(cfg.run.checkpoints_dir, cfg.run.name,
-                       f"{cfg.run.epoch}_G"):
+                       f"{cfg.run.epoch}{suffix}"):
         raise SystemExit(
-            f"checkpoint [{cfg.run.epoch}_G] not found under "
+            f"checkpoint [{cfg.run.epoch}{suffix}] not found under "
             f"{os.path.join(cfg.run.checkpoints_dir, cfg.run.name)} — train "
-            f"first or pass --epoch <tag>")
+            f"first (with --ema_decay > 0 for --use_ema) or pass "
+            f"--epoch <tag>")
     g_vars = ckpt.restore_generator(template, cfg.run.checkpoints_dir,
-                                    cfg.run.name, cfg.run.epoch)
-    print(f"loaded generator checkpoint [{cfg.run.epoch}_G]", flush=True)
+                                    cfg.run.name, cfg.run.epoch,
+                                    use_ema=cfg.run.use_ema)
+    print(f"loaded generator checkpoint [{cfg.run.epoch}{suffix}]",
+          flush=True)
 
     ds = data_loader.create_dataset(cfg, train=False)
     bs = min(cfg.data.batch_size, cfg.run.num_test)

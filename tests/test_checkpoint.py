@@ -107,3 +107,42 @@ def test_exists(tmp_path):
     ckpt.save(state, str(tmp_path), "run", "epoch_7", wait=True)
     assert ckpt.exists(str(tmp_path), "run", "epoch_7")
     assert not ckpt.exists(str(tmp_path), "run", "latest")
+
+def test_ema_generator_roundtrip(tmp_path):
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(3), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    batch = {"image": jnp.zeros((2, 32, 32, 3)),
+             "bin": jnp.array([0, 1], jnp.int32)}
+    state, _ = step(state, batch)
+
+    ckpt.save_generator(state, str(tmp_path), "run", "latest", wait=True)
+    ckpt.save_generator(state, str(tmp_path), "run", "latest", wait=True,
+                        use_ema=True)
+    template = init_params(G, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
+                           train=False)
+    raw = ckpt.restore_generator(template, str(tmp_path), "run", "latest")
+    ema = ckpt.restore_generator(template, str(tmp_path), "run", "latest",
+                                 use_ema=True)
+    for a, b in zip(jax.tree.leaves(ema["params"]),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_array_equal(a, b)
+    # EMA twin differs from the live params after one step
+    diffs = [float(np.max(np.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(ema["params"]),
+                             jax.tree.leaves(raw["params"]))]
+    assert max(diffs) > 0
+
+
+def test_save_ema_without_training_it_raises(tmp_path):
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(3), 10)
+    with pytest.raises(ValueError):
+        ckpt.save_generator(state, str(tmp_path), "run", "latest",
+                            use_ema=True)

@@ -257,3 +257,41 @@ def test_lr_schedules():
     cfg3 = tiny_cfg(lr_policy="step", lr_decay_iters=1, lr=1.0)
     s3 = make_lr_schedule(cfg3, 10)
     assert np.isclose(float(s3(10)), 0.1)
+
+
+def test_ema_tracks_generator():
+    # EMA twin follows g_params with the ramped decay min(d, (1+t)/(10+t))
+    cfg = tiny_cfg(ema_decay=0.999)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    assert state.ema_params is not None
+    # init: EMA == params
+    for e, p in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(state.g_params)):
+        np.testing.assert_array_equal(e, p)
+    step = jax.jit(make_train_step(cfg, G, D))
+    s1, _ = step(state, make_batch(0, cfg))
+    # step 0: d = min(0.999, 1/10) = 0.1 -> ema = 0.1*old + 0.9*new
+    for e1, e0, p1 in zip(jax.tree.leaves(s1.ema_params),
+                          jax.tree.leaves(state.ema_params),
+                          jax.tree.leaves(s1.g_params)):
+        np.testing.assert_allclose(e1, 0.1 * e0 + 0.9 * p1,
+                                   rtol=1e-5, atol=1e-6)
+    s2, _ = step(s1, make_batch(1, cfg))
+    # step 1: d = min(0.999, 2/11)
+    d = 2.0 / 11.0
+    for e2, e1, p2 in zip(jax.tree.leaves(s2.ema_params),
+                          jax.tree.leaves(s1.ema_params),
+                          jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(e2, d * e1 + (1 - d) * p2,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_ema_off_by_default():
+    cfg = tiny_cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    assert state.ema_params is None
+    step = jax.jit(make_train_step(cfg, G, D))
+    s1, _ = step(state, make_batch(0, cfg))
+    assert s1.ema_params is None

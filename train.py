@@ -145,6 +145,15 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     timer = StepTimer()
     total_epochs = cfg.train.niter + cfg.train.niter_decay
     t = cfg.train
+
+    def save_g(state, tag, wait=False):
+        """G-only checkpoint; with --ema_decay>0 also writes the {tag}_G_ema
+        twin the sampler's --use_ema consumes."""
+        ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
+                            tag, wait=wait)
+        if t.ema_decay > 0:
+            ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
+                                tag, wait=wait, use_ema=True)
     display = _make_display(cfg, G, run_dir)
     profiling = {"active": False, "left": cfg.run.profile_steps, "skip": 3}
     fid_eval = None
@@ -225,16 +234,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         if gstep % t.save_latest_freq == 0:
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       "latest")
-            ckpt.save_generator(state, cfg.run.checkpoints_dir,
-                                cfg.run.name, "latest")
+            save_g(state, "latest")
         if epoch % t.save_epoch_freq == 0:
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       f"epoch_{epoch}")
-            ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
-                                f"epoch_{epoch}")
+            save_g(state, f"epoch_{epoch}")
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
-            ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
-                                "latest")
+            save_g(state, "latest")
             removed = ckpt.prune_epochs(cfg.run.checkpoints_dir, cfg.run.name,
                                         t.max_ckpt_keep)
             if removed:
@@ -248,8 +254,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         print(f"End of epoch {epoch}/{total_epochs} \t "
               f"({time.time() - epoch_t0:.1f}s)", flush=True)
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
-    ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
-                        "latest", wait=True)
+    save_g(state, "latest", wait=True)
 
 
 def _profile_tick(p, run_dir):
