@@ -71,6 +71,10 @@ class ModelConfig:
     tie_margin: float = 0.5          # Thurstone-with-ties decision margin
     # numerics
     dtype: str = "bfloat16"          # compute dtype on TPU; params stay f32
+    # tap-matmul reformulation of the 7x7 reflect stem/tail convs: puts
+    # (kernel-tap, channel) pairs on MXU lanes instead of 3 image channels
+    # (ops/lowch_conv.py). bf16-only; no-op for f32 parity runs.
+    lowch_matmul: bool = True
     remat: bool = False              # rematerialize G resnet blocks (256px HBM)
 
 
@@ -220,6 +224,7 @@ _FLAG_MAP = {
     "tie_margin": ("model", "tie_margin"),
     "dtype": ("model", "dtype"),
     "remat": ("model", "remat"),
+    "lowch_matmul": ("model", "lowch_matmul"),
     "name": ("run", "name"),
     "checkpoints_dir": ("run", "checkpoints_dir"),
     "verbose": ("run", "verbose"),

@@ -84,6 +84,7 @@ class ResnetGenerator(nn.Module):
     cond_inject: str = "input"       # input | bottleneck
     upsample: str = "deconv"         # deconv (parity) | resize_conv (fast path)
     remat: bool = False              # rematerialize resnet blocks (256px HBM)
+    lowch_matmul: bool = False       # tap-matmul stem/tail convs (bf16 perf)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -101,7 +102,8 @@ class ResnetGenerator(nn.Module):
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
 
         h = TorchConv(self.ngf, 7, 1, 3, pad_mode="reflect",
-                      use_bias=norm_bias, **kw)(x)
+                      use_bias=norm_bias, lowch_matmul=self.lowch_matmul,
+                      **kw)(x)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.relu(h)
 
@@ -140,7 +142,7 @@ class ResnetGenerator(nn.Module):
             h = nn.relu(h)
 
         h = TorchConv(self.output_nc, 7, 1, 3, pad_mode="reflect",
-                      use_bias=True, **kw)(h)
+                      use_bias=True, lowch_matmul=self.lowch_matmul, **kw)(h)
         return jnp.tanh(h.astype(jnp.float32))
 
 

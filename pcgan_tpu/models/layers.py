@@ -110,6 +110,11 @@ class TorchConv(nn.Module):
     pad_mode: str = "zero"
     use_bias: bool = True
     fused_reflect: bool = False
+    # tap-matmul reformulation for low-channel reflect convs (G stem/tail):
+    # puts (tap, channel) pairs on MXU lanes instead of 3 image channels —
+    # see ops/lowch_conv.py. bf16 only (float-association differs from the
+    # direct conv; the f32 .pth-parity path keeps the exact lowering).
+    lowch_matmul: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
@@ -124,7 +129,22 @@ class TorchConv(nn.Module):
         # for bf16 inputs regardless; f32 modules force HIGHEST precision.
         prec = _conv_precision(self.dtype)
         xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
-        if (self.fused_reflect and self.pad_mode == "reflect"
+        if (self.lowch_matmul and self.pad_mode == "reflect"
+                and self.dtype == jnp.bfloat16 and self.stride == 1
+                and p > 0 and k == 2 * p + 1 and self.features <= 8
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            # tail only (C_out<=8): space-to-depth form — 48 MXU lanes
+            # instead of 3, native autodiff. The tap-matmul/col-matmul
+            # custom-VJP routes were built and measured slower in-step
+            # (HBM round-trip of the 147-lane intermediate); see
+            # ops/lowch_conv.py docstrings + docs/perf_notes.md.
+            # plain s2d + native autodiff; the reflect_fold custom-VJP
+            # variant (s2d_reflect_conv) measured SLOWER in-step
+            # (97.4 vs 94.6 ms @128px) — XLA's own pad-transpose fusion
+            # beats the hand-split backward here. Kept in-tree, tested.
+            from pcgan_tpu.ops.lowch_conv import s2d_conv
+            y = s2d_conv(pad2d(xd, p, "reflect"), kd, 4, prec)
+        elif (self.fused_reflect and self.pad_mode == "reflect"
                 and self.stride == 1 and p > 0 and k == 2 * p + 1
                 and min(x.shape[1], x.shape[2]) >= p + 2):
             y = reflect_conv(xd, kd, p, precision=prec)

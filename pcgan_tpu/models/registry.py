@@ -42,10 +42,12 @@ def define_G(cfg: Config) -> nn.Module:
               cond_inject=cfg.model.cond_inject)
     if base == "resnet_9blocks":
         return ResnetGenerator(n_blocks=9, upsample=variant or "deconv",
-                               remat=cfg.model.remat, **kw)
+                               remat=cfg.model.remat,
+                               lowch_matmul=cfg.model.lowch_matmul, **kw)
     if base == "resnet_6blocks":
         return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
-                               remat=cfg.model.remat, **kw)
+                               remat=cfg.model.remat,
+                               lowch_matmul=cfg.model.lowch_matmul, **kw)
     if base.startswith("unet_"):
         # template naming: unet_<image size>, num_downs = log2(size)
         size = int(base.split("_")[1])

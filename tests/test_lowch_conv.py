@@ -71,3 +71,41 @@ def test_custom_vjp_jits_and_handles_bf16():
 
     g = jax.grad(loss, argnums=1)(x, w)
     assert g.shape == w.shape and np.isfinite(np.asarray(g, np.float32)).all()
+
+
+@pytest.mark.parametrize("cin,cout,r", [(16, 3, 4), (8, 2, 2)])
+def test_s2d_conv_matches_direct(cin, cout, r):
+    from pcgan_tpu.ops.lowch_conv import s2d_conv
+    x_pad = _rand(10, (2, 22, 38, cin))
+    w = _rand(11, (7, 7, cin, cout)) * 0.1
+    ref = conv_valid_ref(x_pad, w, precision=P)
+    got = s2d_conv(x_pad, w, r, precision=P)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # native autodiff through the reformulation == direct conv grads
+    dy = _rand(12, ref.shape)
+    _, vr = jax.vjp(lambda x, w: conv_valid_ref(x, w, P), x_pad, w)
+    _, vs = jax.vjp(lambda x, w: s2d_conv(x, w, r, P), x_pad, w)
+    for a, b in zip(vs(dy), vr(dy)):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+def test_s2d_conv_rejects_indivisible():
+    from pcgan_tpu.ops.lowch_conv import s2d_conv
+    x_pad = _rand(13, (1, 20, 20, 4))   # output 14x14, not divisible by 4
+    w = _rand(14, (7, 7, 4, 3))
+    with pytest.raises(ValueError):
+        s2d_conv(x_pad, w, 4)
+
+
+def test_s2d_reflect_conv_matches_autodiff():
+    from pcgan_tpu.ops.lowch_conv import s2d_reflect_conv
+    x = _rand(20, (2, 16, 32, 12))
+    w = _rand(21, (7, 7, 12, 3)) * 0.1
+    dy = _rand(22, (2, 16, 32, 3))
+    ref = lambda x, w: conv_valid_ref(pad2d(x, 3, "reflect"), w, P)
+    new = lambda x, w: s2d_reflect_conv(x, w, 3, 4, P)
+    yr, vr = jax.vjp(ref, x, w)
+    yn, vn = jax.vjp(new, x, w)
+    np.testing.assert_allclose(yn, yr, rtol=2e-4, atol=2e-4)
+    for a, b in zip(vn(dy), vr(dy)):
+        np.testing.assert_allclose(a, b, rtol=4e-4, atol=4e-4)
