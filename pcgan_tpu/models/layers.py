@@ -129,21 +129,25 @@ class TorchConv(nn.Module):
         # for bf16 inputs regardless; f32 modules force HIGHEST precision.
         prec = _conv_precision(self.dtype)
         xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+        lowch_r = 0
         if (self.lowch_matmul and self.pad_mode == "reflect"
                 and self.dtype == jnp.bfloat16 and self.stride == 1
-                and p > 0 and k == 2 * p + 1 and self.features <= 8
-                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
-            # tail only (C_out<=8): space-to-depth form — 48 MXU lanes
-            # instead of 3, native autodiff. The tap-matmul/col-matmul
-            # custom-VJP routes were built and measured slower in-step
-            # (HBM round-trip of the 147-lane intermediate); see
-            # ops/lowch_conv.py docstrings + docs/perf_notes.md.
-            # plain s2d + native autodiff; the reflect_fold custom-VJP
-            # variant (s2d_reflect_conv) measured SLOWER in-step
-            # (97.4 vs 94.6 ms @128px) — XLA's own pad-transpose fusion
-            # beats the hand-split backward here. Kept in-tree, tested.
+                and p > 0 and k == 2 * p + 1):
+            if self.features <= 8:
+                lowch_r = 4          # tail: 3 -> 48 output lanes
+            # stem (13->64) deliberately NOT routed: r=2 s2d measured
+            # 120.1 vs 115.7 ms/step @256px — its 1.31x FLOP inflation
+            # outweighs the utilization gain (fwd already runs 45-85 TF/s)
+        if lowch_r and x.shape[1] % lowch_r == 0 and x.shape[2] % lowch_r == 0:
+            # space-to-depth form with native autodiff: r*r times the MXU
+            # lanes on the thin side of the conv. Measured best of the
+            # alternatives in ops/lowch_conv.py (tap-matmul/col-matmul
+            # custom-VJP routes round-trip a 147-lane intermediate through
+            # HBM; the reflect_fold custom-VJP variant defeats XLA fusion
+            # worth more than the pad transpose it removes) — numbers in
+            # docs/perf_notes.md.
             from pcgan_tpu.ops.lowch_conv import s2d_conv
-            y = s2d_conv(pad2d(xd, p, "reflect"), kd, 4, prec)
+            y = s2d_conv(pad2d(xd, p, "reflect"), kd, lowch_r, prec)
         elif (self.fused_reflect and self.pad_mode == "reflect"
                 and self.stride == 1 and p > 0 and k == 2 * p + 1
                 and min(x.shape[1], x.shape[2]) >= p + 2):
