@@ -101,7 +101,7 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512) -> float:
         step = make_parallel_train_step(cfg, G, D, mesh=mesh,
                                         steps_per_epoch=1000,
                                         with_preprocess=True)
-        ds = UTKFaceDataset(tmpdir)
+        ds = UTKFaceDataset(tmpdir, decode_m=cfg.data.host_decode_m)
         ld = Loader(ds, cfg.data.batch_size, shuffle=True,
                     num_threads=cfg.data.num_threads)
 
@@ -164,6 +164,9 @@ def main():
                    help="end-to-end rate incl. JPEG decode + host->device "
                         "transfer (synthetic on-disk dataset)")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--host_decode_m", type=int, default=8,
+                   help="e2e mode: libjpeg DCT-domain decode scale M/8 "
+                        "(M<8 = documented non-parity host fast path)")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--size", type=int, default=128)
     args = p.parse_args()
@@ -194,7 +197,8 @@ def main():
         cfg = Config(
             data=DataConfig(batch_size=batch, crop_size=args.size,
                             load_size=int(args.size * 143 / 128),
-                            n_age_bins=10),
+                            n_age_bins=10,
+                            host_decode_m=args.host_decode_m),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
                               remat=args.size >= 256 and batch > 16),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))

@@ -37,6 +37,12 @@ class DataConfig:
     no_flip: bool = False
     serial_batches: bool = False
     num_threads: int = 4             # host-side decode workers
+    # host decode scale M/8 (8 = full-scale, bit-parity with the reference
+    # transform chain). M<8 decodes JPEGs at M/8 size in the DCT domain
+    # (libjpeg scale_num) — a documented NON-PARITY fast path for
+    # core-starved hosts; the device pipeline then resizes from the smaller
+    # canvas. Requires load_size <= ceil(native*M/8).
+    host_decode_m: int = 8
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
     labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
     comparisons_csv: str = ""        # for dataset_mode=comparisons (pathA,pathB,label)
@@ -198,6 +204,7 @@ _FLAG_MAP = {
     "no_flip": ("data", "no_flip"),
     "serial_batches": ("data", "serial_batches"),
     "num_threads": ("data", "num_threads"),
+    "host_decode_m": ("data", "host_decode_m"),
     "max_dataset_size": ("data", "max_dataset_size"),
     "labels_csv": ("data", "labels_csv"),
     "comparisons_csv": ("data", "comparisons_csv"),

@@ -37,7 +37,8 @@ def create_dataset(cfg: Config, train: bool = True):
                                      max_age=cfg.data.max_age)
     if mode in ("aging", "single"):
         return UTKFaceDataset(cfg.data.dataroot, max_size=ms,
-                              require_age=(mode == "aging"))
+                              require_age=(mode == "aging"),
+                              decode_m=cfg.data.host_decode_m)
     if mode == "sorted":
         from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
         return SortedLabelsDataset(cfg.data.labels_csv, max_size=ms)

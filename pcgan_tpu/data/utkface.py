@@ -45,10 +45,16 @@ class UTKFaceDataset:
     """Protocol: __len__, ages, get_raw(i) -> {'image': u8 (native,native,3), 'age': int}."""
 
     def __init__(self, root: str, native: int = 200, max_size: int = -1,
-                 require_age: bool = True):
+                 require_age: bool = True, decode_m: int = 8):
         from PIL import Image  # host-side decode only
         self._Image = Image
         self.native = native
+        # decode_m/8 = libjpeg DCT-domain downscale (NON-parity fast path
+        # for core-starved hosts; --host_decode_m). The emitted canvas
+        # shrinks to ceil(native*m/8); PIL fallback uses draft() (the same
+        # DCT scaling) so both paths stay mutually consistent.
+        self.decode_m = max(1, min(8, int(decode_m)))
+        self.out_size = -(-native * self.decode_m // 8)
         paths = list_images(root, -1)
         items: List[Tuple[str, int]] = []
         for p in paths:
@@ -71,9 +77,12 @@ class UTKFaceDataset:
         return len(self.paths)
 
     def get_raw(self, i: int):
-        img = self._Image.open(self.paths[i]).convert("RGB")
-        if img.size != (self.native, self.native):
-            img = img.resize((self.native, self.native),
+        img = self._Image.open(self.paths[i])
+        if self.decode_m < 8 and img.format == "JPEG":
+            img.draft("RGB", (self.out_size, self.out_size))
+        img = img.convert("RGB")
+        if img.size != (self.out_size, self.out_size):
+            img = img.resize((self.out_size, self.out_size),
                              self._Image.Resampling.BICUBIC)
         return {"image": np.asarray(img, np.uint8), "age": int(self.ages[i])}
 
@@ -89,8 +98,10 @@ class UTKFaceDataset:
         if not native.available() or not all(
                 p.lower().endswith((".jpg", ".jpeg")) for p in paths):
             return None
-        imgs, status = native.decode_batch(paths, self.native, self.native,
-                                           threads=num_threads)
+        imgs, status = native.decode_batch(paths, self.out_size,
+                                           self.out_size,
+                                           threads=num_threads,
+                                           scale_num=self.decode_m)
         for j in np.nonzero(status)[0]:
             imgs[j] = self.get_raw(int(idx[j]))["image"]
         ages = self.ages[np.asarray(idx, np.int64)]

@@ -69,11 +69,11 @@ def _load():
             lib.pcgan_decode_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
             lib.pcgan_decode_file.restype = ctypes.c_int
             lib.pcgan_decode_file.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int, ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.pcgan_jpeg_abi.restype = ctypes.c_int
             lib.pcgan_jpeg_abi.argtypes = []
             _lib = lib
@@ -93,11 +93,13 @@ def jpeg_abi() -> int:
 
 
 def decode_batch(paths: Sequence[str], height: int, width: int,
-                 threads: int = 8,
-                 out: np.ndarray = None) -> Tuple[np.ndarray, np.ndarray]:
+                 threads: int = 8, out: np.ndarray = None,
+                 scale_num: int = 8) -> Tuple[np.ndarray, np.ndarray]:
     """Decode `paths` into an (N, height, width, 3) u8 RGB batch with the
-    C++ thread pool. Returns (batch, status) — status[i] != 0 means image i
-    was NOT written (open/decode/dims/colorspace) and the caller must fill
+    C++ thread pool. `scale_num`/8 applies libjpeg's DCT-domain downscale
+    (height/width are then the SCALED dims); 8 = full-scale bit-parity
+    with PIL. Returns (batch, status) — status[i] != 0 means image i was
+    NOT written (open/decode/dims/colorspace) and the caller must fill
     that slot itself (e.g. PIL fallback). Raises RuntimeError when the
     native library is unavailable — gate on :func:`available` first."""
     lib = _load()
@@ -116,5 +118,6 @@ def decode_batch(paths: Sequence[str], height: int, width: int,
     lib.pcgan_decode_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         height, width, int(threads),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        int(scale_num))
     return out, status

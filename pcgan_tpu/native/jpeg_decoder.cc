@@ -49,7 +49,8 @@ enum Status {
   PCGAN_E_COLOR = 4,   // CMYK/YCCK source (caller converts)
 };
 
-int decode_one(const char* path, uint8_t* out, int oh, int ow) {
+int decode_one(const char* path, uint8_t* out, int oh, int ow,
+               int scale_num) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return PCGAN_E_OPEN;
   jpeg_decompress_struct cinfo;
@@ -73,6 +74,12 @@ int decode_one(const char* path, uint8_t* out, int oh, int ow) {
     return PCGAN_E_COLOR;
   }
   cinfo.out_color_space = JCS_RGB;  // gray->RGB expansion is supported
+  if (scale_num > 0 && scale_num != 8) {
+    // DCT-domain downscale (libjpeg-turbo: M/8, M=1..16): IDCT cost scales
+    // with the OUTPUT size — the host fast path for core-starved machines
+    cinfo.scale_num = static_cast<unsigned>(scale_num);
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_width) != ow ||
       static_cast<int>(cinfo.output_height) != oh ||
@@ -97,9 +104,11 @@ int decode_one(const char* path, uint8_t* out, int oh, int ow) {
 
 extern "C" {
 
-// Decode one JPEG file into `out` (h*w*3 RGB8). Returns a Status code.
-int pcgan_decode_file(const char* path, uint8_t* out, int h, int w) {
-  return decode_one(path, out, h, w);
+// Decode one JPEG file into `out` (h*w*3 RGB8) at scale_num/8 (8 = full;
+// pass 0 for full as well). Returns a Status code.
+int pcgan_decode_file(const char* path, uint8_t* out, int h, int w,
+                      int scale_num) {
+  return decode_one(path, out, h, w, scale_num);
 }
 
 // Decode `n` files into `out` (n*h*w*3, image i at offset i*h*w*3) using
@@ -108,7 +117,7 @@ int pcgan_decode_file(const char* path, uint8_t* out, int h, int w) {
 // lands in `status[i]`; the slot for a failed image is untouched. Returns
 // the number of failures (0 == whole batch served natively).
 int pcgan_decode_batch(const char** paths, int n, uint8_t* out, int h, int w,
-                       int nthreads, int* status) {
+                       int nthreads, int* status, int scale_num) {
   const size_t img = static_cast<size_t>(h) * w * 3;
   std::atomic<int> next(0), failures(0);
   int t = nthreads < 1 ? 1 : nthreads;
@@ -118,7 +127,7 @@ int pcgan_decode_batch(const char** paths, int n, uint8_t* out, int h, int w,
   for (int k = 0; k < t; ++k) {
     workers.emplace_back([&]() {
       for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
-        const int s = decode_one(paths[i], out + img * i, h, w);
+        const int s = decode_one(paths[i], out + img * i, h, w, scale_num);
         status[i] = s;
         if (s != PCGAN_OK) failures.fetch_add(1, std::memory_order_relaxed);
       }

@@ -119,3 +119,32 @@ def test_bf16_policy_params_stay_f32(rng):
     assert all(p.dtype == jnp.float32 for p in leaves)
     y = G.apply(variables, x, cond, train=False)
     assert y.dtype == jnp.float32  # tanh head promoted for stability
+
+
+def test_generator_lowch_matmul_matches_direct():
+    # the s2d tail route (bf16 perf path) must match the direct lowering
+    # within bf16 noise, through the real generator wiring
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.models.registry import define_G, init_params
+
+    def build(lowch):
+        cfg = Config(
+            data=DataConfig(batch_size=2, crop_size=32, load_size=32,
+                            n_age_bins=4),
+            model=ModelConfig(netG="resnet_6blocks", ngf=8,
+                              dtype="bfloat16", lowch_matmul=lowch))
+        return define_G(cfg)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.bfloat16)
+    cond = jnp.eye(4, dtype=jnp.bfloat16)[:2]
+    g_direct, g_s2d = build(False), build(True)
+    v = init_params(g_direct, jax.random.PRNGKey(1), x, cond, train=False)
+    y0 = np.asarray(g_direct.apply(v, x, cond, train=False), np.float32)
+    y1 = np.asarray(g_s2d.apply(v, x, cond, train=False), np.float32)
+    assert y0.shape == y1.shape
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=3e-2)  # bf16 + tanh

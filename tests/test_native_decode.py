@@ -105,3 +105,31 @@ def test_loader_uses_native_batch(tmp_path, monkeypatch):
     batches = list(iter(ld))
     assert calls["n"] == 2 and len(batches) == 2
     assert batches[0]["image"].dtype == np.uint8
+
+
+def test_scaled_decode_shapes_and_dataset(tmp_path):
+    # --host_decode_m: DCT-domain downscaled decode (documented non-parity
+    # host fast path). m=4 must be bit-exact with PIL's draft (same libjpeg
+    # power-of-two scaling); arbitrary m only has to land on the right
+    # canvas and stay close to a bicubic reference.
+    paths = _save_jpgs(str(tmp_path), n=3)
+    batch, status = native.decode_batch(paths, 100, 100, scale_num=4)
+    assert not status.any() and batch.shape == (3, 100, 100, 3)
+    im = Image.open(paths[0])
+    im.draft("RGB", (100, 100))
+    np.testing.assert_array_equal(batch[0], np.asarray(im.convert("RGB")))
+
+    ds = UTKFaceDataset(str(tmp_path), decode_m=6)
+    assert ds.out_size == 150
+    b = ds.get_raw_batch(np.arange(len(ds)), num_threads=2)
+    assert b is not None and b["image"].shape == (3, 150, 150, 3)
+    # per-item PIL fallback path lands on the same canvas
+    assert ds.get_raw(0)["image"].shape == (150, 150, 3)
+
+
+def test_full_scale_unchanged_by_decode_m_8(tmp_path):
+    paths = _save_jpgs(str(tmp_path), n=2)
+    ds8 = UTKFaceDataset(str(tmp_path), decode_m=8)
+    dsd = UTKFaceDataset(str(tmp_path))
+    np.testing.assert_array_equal(ds8.get_raw(0)["image"],
+                                  dsd.get_raw(0)["image"])
