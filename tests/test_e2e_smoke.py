@@ -180,3 +180,28 @@ def test_score_mode_e2e(workdir):
     assert "score_" in html            # score-sweep column labels
     pngs = os.listdir(os.path.join(web, "images"))
     assert len(pngs) == 1 * 5, pngs    # input + 4 swept scores
+
+
+@pytest.mark.slow
+def test_ema_e2e(workdir):
+    # --ema_decay writes the {tag}_G_ema twin; test.py --use_ema samples it
+    ckpt_dir = str(workdir / "ckpt_ema")
+    results_dir = str(workdir / "results_ema")
+
+    import train as train_cli
+    import test as test_cli
+
+    train_cli.main(COMMON + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "0",
+        "--ema_decay", "0.999",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "smoke", "latest_G_ema"))
+    test_cli.main(COMMON + [
+        "--checkpoints_dir", ckpt_dir, "--results_dir", results_dir,
+        "--num_test", "1", "--epoch", "latest", "--use_ema",
+    ])
+    web = os.path.join(results_dir, "smoke", "test_latest")
+    assert os.path.exists(os.path.join(web, "index.html"))
+    # loss curves rendered next to the metrics (C13 visdom replacement)
+    assert os.path.exists(os.path.join(ckpt_dir, "smoke", "loss_curves.svg"))
