@@ -191,8 +191,9 @@ def main():
             train=TrainConfig(pool_size=8))
         steps = args.steps or 5
     else:
-        # measured sweet spots on v5e: batch 64 @128px (586 imgs/s r1);
-        # @256px batch 16 fits HBM without remat (110.5 imgs/s r1)
+        # measured sweet spots on v5e (round 2): batch 64 @128px
+        # (667 imgs/s); @256px batch 16 no-remat (136) — batch 32 also
+        # fits without remat since the bias-drop/s2d HBM savings (128.1)
         batch = args.batch or (16 if args.size >= 256 else 64)
         cfg = Config(
             data=DataConfig(batch_size=batch, crop_size=args.size,
@@ -200,7 +201,7 @@ def main():
                             n_age_bins=10,
                             host_decode_m=args.host_decode_m),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              remat=args.size >= 256 and batch > 16),
+                              remat=args.size >= 256 and batch > 32),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
         steps = args.steps or 30
 

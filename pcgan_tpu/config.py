@@ -82,6 +82,8 @@ class ModelConfig:
     # (ops/lowch_conv.py). bf16-only; no-op for f32 parity runs.
     lowch_matmul: bool = True
     remat: bool = False              # rematerialize G resnet blocks (256px HBM)
+    remat_blocks: int = -1           # partial remat: only the first N blocks
+                                     # recompute (-1 = all) — memory/speed dial
 
 
 @dataclass(frozen=True)
@@ -231,6 +233,7 @@ _FLAG_MAP = {
     "tie_margin": ("model", "tie_margin"),
     "dtype": ("model", "dtype"),
     "remat": ("model", "remat"),
+    "remat_blocks": ("model", "remat_blocks"),
     "lowch_matmul": ("model", "lowch_matmul"),
     "name": ("run", "name"),
     "checkpoints_dir": ("run", "checkpoints_dir"),

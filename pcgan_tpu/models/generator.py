@@ -84,6 +84,8 @@ class ResnetGenerator(nn.Module):
     cond_inject: str = "input"       # input | bottleneck
     upsample: str = "deconv"         # deconv (parity) | resize_conv (fast path)
     remat: bool = False              # rematerialize resnet blocks (256px HBM)
+    remat_blocks: int = -1           # how many blocks to remat (-1 = all):
+                                     # partial remat = memory/speed dial
     lowch_matmul: bool = False       # tap-matmul stem/tail convs (bf16 perf)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
@@ -123,12 +125,23 @@ class ResnetGenerator(nn.Module):
 
         mult = 2 ** self.n_downsampling
         # remat trades FLOPs for HBM (SURVEY.md SS7: 256px large-batch path):
-        # each block's activations are recomputed in the backward pass
-        block_cls = (nn.remat(ResnetBlock, static_argnums=(2,))
-                     if self.remat else ResnetBlock)   # train flag is static
-        for _ in range(self.n_blocks):
+        # a remat'd block's activations are recomputed in the backward pass.
+        # remat_blocks makes this a dial — rematerialize only the first N
+        # blocks (all blocks are the same size, so which N is immaterial)
+        # when full remat over-trades compute for memory headroom.
+        remat_cls = nn.remat(ResnetBlock, static_argnums=(2,))
+        n_remat = 0
+        if self.remat:
+            n_remat = (self.n_blocks if self.remat_blocks < 0
+                       else min(self.remat_blocks, self.n_blocks))
+        for bi in range(self.n_blocks):
+            block_cls = remat_cls if bi < n_remat else ResnetBlock
+            # explicit name: nn.remat's auto-name would be
+            # CheckpointResnetBlock_<i>, making remat a CHECKPOINT-BREAKING
+            # flag (params trained with --remat wouldn't load without it)
             h = block_cls(self.ngf * mult, self.norm, self.use_dropout,
-                          dtype=self.dtype, kernel_init=self.kernel_init)(h, train)
+                          dtype=self.dtype, kernel_init=self.kernel_init,
+                          name=f"ResnetBlock_{bi}")(h, train)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

@@ -43,10 +43,12 @@ def define_G(cfg: Config) -> nn.Module:
     if base == "resnet_9blocks":
         return ResnetGenerator(n_blocks=9, upsample=variant or "deconv",
                                remat=cfg.model.remat,
+                               remat_blocks=cfg.model.remat_blocks,
                                lowch_matmul=cfg.model.lowch_matmul, **kw)
     if base == "resnet_6blocks":
         return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
                                remat=cfg.model.remat,
+                               remat_blocks=cfg.model.remat_blocks,
                                lowch_matmul=cfg.model.lowch_matmul, **kw)
     if base.startswith("unet_"):
         # template naming: unet_<image size>, num_downs = log2(size)

@@ -148,3 +148,32 @@ def test_generator_lowch_matmul_matches_direct():
     y1 = np.asarray(g_s2d.apply(v, x, cond, train=False), np.float32)
     assert y0.shape == y1.shape
     np.testing.assert_allclose(y1, y0, rtol=0, atol=3e-2)  # bf16 + tanh
+
+
+def test_partial_remat_matches_full():
+    # remat_blocks is a pure memory/speed dial: outputs and grads must be
+    # identical (same math, different recompute schedule)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgan_tpu.models.generator import ResnetGenerator
+
+    def build(remat, nb):
+        return ResnetGenerator(output_nc=3, ngf=8, n_blocks=2, remat=remat,
+                               remat_blocks=nb, use_dropout=False)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 7))
+    cond = jnp.zeros((1, 4))
+    g0, g1 = build(False, -1), build(True, 1)
+    v = g0.init({"params": jax.random.PRNGKey(1),
+                 "dropout": jax.random.PRNGKey(2)}, x[..., :3], cond,
+                train=True)
+
+    def loss(g, v):
+        return jnp.sum(g.apply(v, x[..., :3], cond, train=False) ** 2)
+
+    l0, grads0 = jax.value_and_grad(lambda v: loss(g0, v))(v)
+    l1, grads1 = jax.value_and_grad(lambda v: loss(g1, v))(v)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads0)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
