@@ -82,7 +82,10 @@ class ResnetGenerator(nn.Module):
     norm: str = "instance"
     use_dropout: bool = False
     cond_inject: str = "input"       # input | bottleneck
-    upsample: str = "deconv"         # deconv (parity) | resize_conv (fast path)
+    upsample: str = "deconv"         # deconv (parity) | resize_conv
+                                     # (checkerboard-free variant; measured
+                                     # SLOWER than the dilated-conv deconv
+                                     # lowering: 534 vs 667 imgs/s @128px)
     remat: bool = False              # rematerialize resnet blocks (256px HBM)
     remat_blocks: int = -1           # how many blocks to remat (-1 = all):
                                      # partial remat = memory/speed dial
