@@ -36,9 +36,17 @@ def create_dataset(cfg: Config, train: bool = True):
         return SyntheticAgingDataset(size=size, seed=cfg.train.seed,
                                      max_age=cfg.data.max_age)
     if mode in ("aging", "single"):
-        return UTKFaceDataset(cfg.data.dataroot, max_size=ms,
-                              require_age=(mode == "aging"),
-                              decode_m=cfg.data.host_decode_m)
+        ds = UTKFaceDataset(cfg.data.dataroot, max_size=ms,
+                            require_age=(mode == "aging"),
+                            decode_m=cfg.data.host_decode_m)
+        if cfg.data.load_size > ds.out_size:
+            # reject instead of silently upsampling blurred data
+            raise ValueError(
+                f"--host_decode_m {cfg.data.host_decode_m} decodes to a "
+                f"{ds.out_size}px canvas but --load_size is "
+                f"{cfg.data.load_size}; raise host_decode_m or lower "
+                f"load_size")
+        return ds
     if mode == "sorted":
         from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
         return SortedLabelsDataset(cfg.data.labels_csv, max_size=ms)

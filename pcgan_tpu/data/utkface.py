@@ -51,8 +51,10 @@ class UTKFaceDataset:
         self.native = native
         # decode_m/8 = libjpeg DCT-domain downscale (NON-parity fast path
         # for core-starved hosts; --host_decode_m). The emitted canvas
-        # shrinks to ceil(native*m/8); PIL fallback uses draft() (the same
-        # DCT scaling) so both paths stay mutually consistent.
+        # shrinks to ceil(native*m/8). get_raw routes through the native
+        # decoder too, so batch and per-image paths match exactly; the pure
+        # PIL fallback is exact for m in {1,2,4,8} (draft) and approximate
+        # otherwise (see get_raw).
         self.decode_m = max(1, min(8, int(decode_m)))
         self.out_size = -(-native * self.decode_m // 8)
         paths = list_images(root, -1)
@@ -77,7 +79,22 @@ class UTKFaceDataset:
         return len(self.paths)
 
     def get_raw(self, i: int):
-        img = self._Image.open(self.paths[i])
+        # prefer the native decoder even per-image: for decode_m not in
+        # {1,2,4,8} PIL's draft() cannot reproduce libjpeg's M/8 DCT scaling
+        # (it only supports power-of-two scales), so the PIL route below is
+        # an APPROXIMATION (draft to the nearest pow-2, then bicubic) used
+        # only when the native library is unavailable or the image is not a
+        # decodable JPEG.
+        p = self.paths[i]
+        if p.lower().endswith((".jpg", ".jpeg")):
+            from pcgan_tpu import native
+            if native.available():
+                imgs, status = native.decode_batch(
+                    [p], self.out_size, self.out_size, threads=1,
+                    scale_num=self.decode_m)
+                if status[0] == native.OK:
+                    return {"image": imgs[0], "age": int(self.ages[i])}
+        img = self._Image.open(p)
         if self.decode_m < 8 and img.format == "JPEG":
             img.draft("RGB", (self.out_size, self.out_size))
         img = img.convert("RGB")

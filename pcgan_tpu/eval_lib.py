@@ -145,7 +145,7 @@ def load_comparator_bundle(cfg: Config):
     try:
         restored = c.restore(
             path, target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
-    except BaseException:
+    except Exception:
         # older comparator checkpoints predate bin_means
         target.pop("bin_means")
         restored = c.restore(

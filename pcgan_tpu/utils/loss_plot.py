@@ -38,10 +38,13 @@ def read_metrics(jsonl_path: str) -> List[Dict[str, float]]:
 
 
 def _series_keys(records: Sequence[Dict]) -> List[str]:
+    """Default series: loss_* keys only. Everything shares ONE y-range, so
+    mixing in e.g. eval_fid_images (=1024) would squash the loss curves to
+    a flat line; other keys are plottable by passing them explicitly."""
     keys: List[str] = []
     for r in records:
         for k, v in r.items():
-            if k in _META_KEYS or k in keys:
+            if k in _META_KEYS or k in keys or not k.startswith("loss"):
                 continue
             if isinstance(v, (int, float)):
                 keys.append(k)

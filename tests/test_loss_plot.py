@@ -50,3 +50,15 @@ def test_constant_series_no_div_by_zero():
     rows = [{"step": 5, "loss_G": 2.0}]  # single point, zero x/y range
     svg = render_loss_svg(rows)
     assert "<polyline" in svg and "nan" not in svg.lower()
+
+
+def test_eval_keys_do_not_squash_losses(tmp_path):
+    # eval_fid_images (=1024) must not enter the shared y-range
+    rows = [{"step": s, "loss_G": 2.0 - 0.01 * s, "loss_D": 0.5}
+            for s in range(1, 11)]
+    rows.append({"step": 10, "eval_fid": 120.0, "eval_fid_images": 1024.0})
+    _write_jsonl(tmp_path / "metrics.jsonl", rows)
+    out = write_loss_plot(str(tmp_path))
+    svg = open(out).read()
+    assert "eval_fid" not in svg and "1024" not in svg
+    assert svg.count("<polyline") == 2

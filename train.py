@@ -155,6 +155,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             ckpt.save_generator(state, cfg.run.checkpoints_dir, cfg.run.name,
                                 tag, wait=wait, use_ema=True)
     display = _make_display(cfg, G, run_dir)
+    last_latest_save = 0
     profiling = {"active": False, "left": cfg.run.profile_steps, "skip": 3}
     fid_eval = None
     if t.eval_fid_epoch_freq > 0:
@@ -231,7 +232,12 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                     jnp.float32(lr_scale), NamedSharding(mesh, P())))
                 print(f"plateau: loss_G stalled at {metric:.4f}, lr scale -> "
                       f"{lr_scale:g}", flush=True)
-        if gstep % t.save_latest_freq == 0:
+        # reference semantics: 'latest' every save_latest_freq ITERS.
+        # checked at epoch boundaries (one dispatch point), so fire whenever
+        # a freq boundary was crossed since the last save — a plain modulo
+        # here would require gstep to land exactly on a multiple
+        if gstep // t.save_latest_freq > last_latest_save // t.save_latest_freq:
+            last_latest_save = gstep
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       "latest")
             save_g(state, "latest")
