@@ -23,3 +23,29 @@ paper, not from reference source lines.
 """
 
 __version__ = "0.1.0"
+
+# Lazy re-exports of the public library surface (PEP 562) — keeps
+# `import pcgan_tpu` light (no jax/flax import) while letting library users
+# write `from pcgan_tpu import parse_config, define_G, ...`.
+_EXPORTS = {
+    "Config": ("pcgan_tpu.config", "Config"),
+    "parse_config": ("pcgan_tpu.config", "parse_config"),
+    "define_G": ("pcgan_tpu.models.registry", "define_G"),
+    "define_D": ("pcgan_tpu.models.registry", "define_D"),
+    "define_C": ("pcgan_tpu.models.registry", "define_C"),
+    "init_params": ("pcgan_tpu.models.registry", "init_params"),
+    "create_train_state": ("pcgan_tpu.train", "create_train_state"),
+    "make_train_step": ("pcgan_tpu.train", "make_train_step"),
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        mod, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'pcgan_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
