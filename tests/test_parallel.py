@@ -124,3 +124,33 @@ def test_pool_sharding_layout():
     assert not state.pool.imgs.sharding.is_fully_replicated
     leaf = jax.tree_util.tree_leaves(state.g_params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_ema_under_sharded_step():
+    # EMA twin must survive shard_map DP: replicated pspec, no double
+    # donation, updated with the same ramped decay as single-device
+    import dataclasses
+    cfg = tiny_cfg(batch=8, pool=0)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999))
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((-1,), ("data",))
+    state = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_parallel_train_step(cfg, G, D, mesh=mesh)
+    batch = {
+        "image": jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)),
+        "bin": jnp.arange(8, dtype=jnp.int32) % 4,
+    }
+    # snapshot BEFORE the step: the jitted step donates the input buffers
+    e0 = np.asarray(jax.device_get(jax.tree.leaves(state.ema_params)[0]))
+    s1, m = step(state, batch)
+    assert np.isfinite(float(m["loss_G"]))
+    # step 0 ramp: d = 1/10 -> ema = 0.1*init + 0.9*new
+    e1 = jax.tree.leaves(s1.ema_params)[0]
+    p1 = jax.tree.leaves(s1.g_params)[0]
+    np.testing.assert_allclose(np.asarray(e1), 0.1 * e0
+                               + 0.9 * np.asarray(p1), rtol=1e-5, atol=1e-6)
+    # second step keeps donation happy (buffers distinct)
+    s2, _ = step(s1, batch)
+    assert int(jax.device_get(s2.step)) == 2
