@@ -74,3 +74,27 @@ def test_auto_step_with_preprocess_runs():
     s2, m = step(state, raw)
     for k, v in m.items():
         assert np.isfinite(float(v)), k
+
+
+def test_auto_step_with_ema():
+    # EMA twin through the GSPMD data x spatial path: placed, updated,
+    # donation-safe
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((2, 4), ("data", "spatial"))
+    state = place_auto_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_auto_train_step(cfg, G, D, mesh=mesh)
+    batch = shard_batch_auto({
+        "image": jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3)),
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+    }, mesh)
+    e0 = np.asarray(jax.device_get(jax.tree.leaves(state.ema_params)[0]))
+    s1, m = step(state, batch)
+    assert np.isfinite(float(jax.device_get(m["loss_G"])))
+    e1 = np.asarray(jax.device_get(jax.tree.leaves(s1.ema_params)[0]))
+    p1 = np.asarray(jax.device_get(jax.tree.leaves(s1.g_params)[0]))
+    np.testing.assert_allclose(e1, 0.1 * e0 + 0.9 * p1, rtol=1e-5, atol=1e-6)
