@@ -118,6 +118,12 @@ class TrainConfig:
     # saved as {tag}_G_ema — a standard GAN quality lever the sampler can
     # opt into with --use_ema)
     ema_decay: float = 0.0
+    # warm-start G from a G-only checkpoint ("<run_name>/<tag>", resolved
+    # under --checkpoints_dir; "<tag>" alone uses the current run name).
+    # The reference-migration path: tools/import_pth.py converts a
+    # reference .pth into such a checkpoint, and this flag fine-tunes from
+    # it with fresh D/optimizers. Ignored under --continue_train.
+    init_g_from: str = ""
     # comparator pretraining
     comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
     # in-training eval (BASELINE config 5 streaming FID)
@@ -259,6 +265,7 @@ _FLAG_MAP = {
     "save_epoch_freq": ("train", "save_epoch_freq"),
     "max_ckpt_keep": ("train", "max_ckpt_keep"),
     "ema_decay": ("train", "ema_decay"),
+    "init_g_from": ("train", "init_g_from"),
     "comparator_path": ("train", "comparator_path"),
     "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
     "eval_fid_images": ("train", "eval_fid_images"),

@@ -205,3 +205,44 @@ def test_ema_e2e(workdir):
     assert os.path.exists(os.path.join(web, "index.html"))
     # loss curves rendered next to the metrics (C13 visdom replacement)
     assert os.path.exists(os.path.join(ckpt_dir, "smoke", "loss_curves.svg"))
+
+
+@pytest.mark.slow
+def test_init_g_from_warm_start(workdir):
+    # the reference-migration flow: a G-only checkpoint (same surface
+    # tools/import_pth.py writes) warm-starts a fresh training run
+    ckpt_dir = str(workdir / "ckpt_wstart")
+
+    import train as train_cli
+    from pcgan_tpu.utils import checkpoint as ckpt
+
+    train_cli.main(COMMON + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "0",
+        "--name", "donor",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "donor", "latest_G"))
+
+    train_cli.main(COMMON + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "0",
+        "--name", "student", "--init_g_from", "donor/latest",
+        "--max_dataset_size", "4",   # 1 step: params stay near the donor
+    ])
+    # student's G started from donor's params: compare the saved G trees
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.config import parse_config
+    from pcgan_tpu.models.registry import define_G, init_params
+    cfg = parse_config(COMMON + ["--checkpoints_dir", ckpt_dir])
+    G = define_G(cfg)
+    template = init_params(G, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
+                           train=False)
+    donor = ckpt.restore_generator(template, ckpt_dir, "donor", "latest")
+    student = ckpt.restore_generator(template, ckpt_dir, "student", "latest")
+    # after ONE small step the student is close to (but not equal to) donor
+    diffs = [float(np.max(np.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(student["params"]),
+                             jax.tree.leaves(donor["params"]))]
+    assert 0 < max(diffs) < 0.01, diffs

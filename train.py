@@ -121,6 +121,20 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             cfg, train=dataclasses.replace(cfg.train, pool_size=pool))
     state = create_train_state(cfg, G, D, rng, steps_per_epoch,
                                c_vars=c_vars, bin_anchors=bin_anchors)
+    if cfg.train.init_g_from and not cfg.train.continue_train:
+        # warm-start G from a G-only checkpoint (e.g. an imported reference
+        # .pth, tools/import_pth.py) — fresh D and optimizers
+        name, _, tag = cfg.train.init_g_from.rpartition("/")
+        gv = ckpt.restore_generator(
+            {"params": state.g_params, **state.g_state},
+            cfg.run.checkpoints_dir, name or cfg.run.name, tag or "latest")
+        g_params = gv["params"]
+        g_state = {k: v for k, v in gv.items() if k != "params"}
+        state = state.replace(
+            g_params=g_params, g_state=g_state,
+            ema_params=(jax.tree.map(jnp.copy, g_params)
+                        if cfg.train.ema_decay > 0 else None))
+        print(f"initialized G from [{cfg.train.init_g_from}]", flush=True)
     if cfg.train.continue_train and ckpt.exists(
             cfg.run.checkpoints_dir, cfg.run.name, cfg.run.epoch):
         state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
