@@ -6,6 +6,9 @@ orbax checkpoint this framework's test.py/evaluate.py can load
     python tools/import_pth.py --pth latest_net_G.pth --netG resnet_9blocks \
         --name imported --checkpoints_dir ./checkpoints --crop_size 128 \
         --n_age_bins 10
+
+The result samples via ``test.py --name imported`` and fine-tunes via
+``train.py --init_g_from imported/latest`` (fresh D/optimizers).
 """
 
 from __future__ import annotations
