@@ -146,3 +146,36 @@ def test_save_ema_without_training_it_raises(tmp_path):
     with pytest.raises(ValueError):
         ckpt.save_generator(state, str(tmp_path), "run", "latest",
                             use_ema=True)
+
+
+def test_restore_across_topology_change(tmp_path):
+    # SURVEY.md SS5.3: save from an 8-device sharded run, resume on a
+    # single device (e.g. preempted pod -> debug box) and vice versa
+    from pcgan_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    shard_train_state)
+    cfg = _cfg(pool=8)
+    G, D = define_G(cfg), define_D(cfg)
+    mesh8 = make_mesh((-1,), ("data",))
+    assert mesh8.devices.size == 8
+    state8 = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(3), 10), mesh8)
+    step8 = make_parallel_train_step(cfg, G, D, mesh=mesh8)
+    batch = {"image": jnp.zeros((8, 32, 32, 3)),
+             "bin": jnp.arange(8, dtype=jnp.int32) % 4}
+    state8, _ = step8(state8, batch)
+    ckpt.save(state8, str(tmp_path), "topo", "latest", wait=True)
+
+    # restore into a FRESH single-device state (different shardings)
+    mesh1 = make_mesh((1,), ("data",))
+    target = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(99), 10), mesh1)
+    restored = ckpt.restore(target, str(tmp_path), "topo", "latest")
+    assert int(jax.device_get(restored.step)) == 1
+    for a, b in zip(jax.tree.leaves(restored.g_params),
+                    jax.tree.leaves(jax.device_get(state8.g_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state steps on the new topology
+    step1 = make_parallel_train_step(cfg, G, D, mesh=mesh1)
+    s2, m = step1(restored, batch)
+    assert np.isfinite(float(jax.device_get(m["loss_G"])))
+    assert int(jax.device_get(s2.step)) == 2
