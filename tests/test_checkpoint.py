@@ -179,3 +179,26 @@ def test_restore_across_topology_change(tmp_path):
     s2, m = step1(restored, batch)
     assert np.isfinite(float(jax.device_get(m["loss_G"])))
     assert int(jax.device_get(s2.step)) == 2
+
+
+def test_restore_across_topology_change_reverse(tmp_path):
+    # 1-dev save -> 8-dev sharded resume (scale-up direction)
+    from pcgan_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    shard_train_state)
+    cfg = _cfg(pool=8)
+    G, D = define_G(cfg), define_D(cfg)
+    mesh1 = make_mesh((1,), ("data",))
+    state1 = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(5), 10), mesh1)
+    ckpt.save(state1, str(tmp_path), "topo_up", "latest", wait=True)
+
+    mesh8 = make_mesh((-1,), ("data",))
+    target = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(7), 10), mesh8)
+    restored = ckpt.restore(target, str(tmp_path), "topo_up", "latest")
+    step8 = make_parallel_train_step(cfg, G, D, mesh=mesh8)
+    batch = {"image": jnp.zeros((8, 32, 32, 3)),
+             "bin": jnp.arange(8, dtype=jnp.int32) % 4}
+    s1, m = step8(restored, batch)
+    assert np.isfinite(float(jax.device_get(m["loss_G"])))
+    assert int(jax.device_get(s1.step)) == 1
