@@ -290,6 +290,33 @@ _SECTION_TYPES = {
     "run": RunConfig,
 }
 
+# help text for flags whose behavior is not obvious from the name —
+# especially levers beyond the reference and any default that changes
+# numerics (project convention: such changes must be called out)
+_FLAG_HELP = {
+    "lowch_matmul": "tap-matmul reformulation of the 7x7 stem/tail convs "
+                    "(ops/lowch_conv.py). bf16-only PERF path, ON by "
+                    "default: changes bf16 float association vs the naive "
+                    "lowering (tested to 3e-2 of f32); f32 parity runs are "
+                    "unaffected. --no-lowch_matmul restores the naive "
+                    "bf16 lowering",
+    "host_decode_m": "libjpeg DCT-domain decode scale M/8 (8 = full-scale "
+                     "bit-parity with PIL). M<8 is a NON-parity fast path "
+                     "for core-starved hosts",
+    "ema_decay": "keep an EMA twin of G saved as {tag}_G_ema (quality "
+                 "lever beyond the reference; 0 = off = reference parity). "
+                 "Must match the saved run when resuming",
+    "remat": "rematerialize G resnet/unet blocks in the backward pass "
+             "(HBM relief for 256px large batches)",
+    "use_ema": "sample from the {tag}_G_ema twin (needs --ema_decay "
+               "training)",
+    "verbose": "print each network's full parameter tree at startup "
+               "(param counts always print, like the reference's "
+               "print_networks)",
+    "init_g_from": "warm-start G from a G-only checkpoint "
+                   "('<run_name>/<tag>'), e.g. an imported reference .pth",
+}
+
 
 def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -304,15 +331,18 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
         seen.add(flag)
         f = next(x for x in dataclasses.fields(_SECTION_TYPES[section]) if x.name == fname)
         default = f.default
+        help_text = _FLAG_HELP.get(flag)
         if f.type in ("bool", bool) or isinstance(default, bool):
             # boolean flags: store_true if default False, BooleanOptionalAction-ish otherwise
             if default is False:
-                p.add_argument(f"--{flag}", action="store_true", default=None)
+                p.add_argument(f"--{flag}", action="store_true", default=None,
+                               help=help_text)
             else:
-                p.add_argument(f"--{flag}", action=argparse.BooleanOptionalAction, default=None)
+                p.add_argument(f"--{flag}", action=argparse.BooleanOptionalAction,
+                               default=None, help=help_text)
         else:
             typ = type(default) if default is not None else str
-            p.add_argument(f"--{flag}", type=typ, default=None)
+            p.add_argument(f"--{flag}", type=typ, default=None, help=help_text)
     p.add_argument("--mesh_shape", type=str, default=None,
                    help="comma-separated mesh, e.g. '8' or '4,2' "
                         "(axes data[,spatial]); -1 = all devices")

@@ -39,13 +39,18 @@ def create_dataset(cfg: Config, train: bool = True):
         ds = UTKFaceDataset(cfg.data.dataroot, max_size=ms,
                             require_age=(mode == "aging"),
                             decode_m=cfg.data.host_decode_m)
-        if cfg.data.load_size > ds.out_size:
-            # reject instead of silently upsampling blurred data
+        if ds.out_size < min(ds.native, cfg.data.load_size):
+            # the DCT fast path (--host_decode_m < 8) shrank the canvas below
+            # resolution a full decode could have provided for this
+            # load_size: reject instead of silently training on blurred
+            # data. load_size > native at full decode is fine — the device
+            # pipeline upsamples, exactly as the reference's PIL resize does
+            # (e.g. --load_size 286 on the 200px UTKFace canvas).
             raise ValueError(
                 f"--host_decode_m {cfg.data.host_decode_m} decodes to a "
-                f"{ds.out_size}px canvas but --load_size is "
-                f"{cfg.data.load_size}; raise host_decode_m or lower "
-                f"load_size")
+                f"{ds.out_size}px canvas but --load_size {cfg.data.load_size} "
+                f"needs {min(ds.native, cfg.data.load_size)}px of source "
+                f"resolution; raise host_decode_m or lower load_size")
         return ds
     if mode == "sorted":
         from pcgan_tpu.data.sorted_labels import SortedLabelsDataset

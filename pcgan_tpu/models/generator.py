@@ -97,6 +97,10 @@ class ResnetGenerator(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                  train: bool = True) -> jnp.ndarray:
         """x: (N,H,W,input_nc) in [-1,1]; cond: (N,cond_nc). Returns (N,H,W,out_nc)."""
+        if self.cond_inject not in ("input", "bottleneck"):
+            # loud: a typo here must not silently train an UNCONDITIONAL G
+            raise NotImplementedError(
+                f"cond_inject [{self.cond_inject}] (want input | bottleneck)")
         # convs feeding a norm drop their bias when the norm makes it inert
         norm_bias = conv_bias_before_norm(self.norm)
         use_bias = norm_uses_bias(self.norm)
@@ -163,7 +167,12 @@ class ResnetGenerator(nn.Module):
 
 
 class UnetSkipBlock(nn.Module):
-    """One U-Net level (template's ``UnetSkipConnectionBlock`` semantics)."""
+    """One U-Net level (template's ``UnetSkipConnectionBlock`` semantics).
+
+    ``inject_cond``: concat the broadcast condition map to this level's
+    down-path activations — set on the innermost block for the PC-GAN
+    ``cond_inject='bottleneck'`` variant (SURVEY.md SS2 C6: condition
+    "concat ... to input or bottleneck")."""
 
     outer_nc: int
     inner_nc: int
@@ -172,11 +181,13 @@ class UnetSkipBlock(nn.Module):
     innermost: bool = False
     norm: str = "instance"
     use_dropout: bool = False
+    inject_cond: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 cond: Any = None) -> jnp.ndarray:
         use_bias = norm_uses_bias(self.norm)
         # a conv that feeds this level's norm drops its inert bias
         norm_bias = conv_bias_before_norm(self.norm)
@@ -192,8 +203,12 @@ class UnetSkipBlock(nn.Module):
         if down_normed:
             h = Norm(self.norm, self.dtype)(h, train)
 
+        if self.inject_cond and cond is not None:
+            h = jnp.concatenate(
+                [h, broadcast_cond(cond, h.shape[1], h.shape[2], h.dtype)], -1)
+
         if self.submodule is not None:
-            h = self.submodule(h, train)
+            h = self.submodule(h, train, cond)
 
         # up
         h = nn.relu(h)
@@ -215,24 +230,55 @@ class UnetGenerator(nn.Module):
     num_downs: int = 7               # unet_128: 7, unet_256: 8
     norm: str = "instance"
     use_dropout: bool = False
-    cond_inject: str = "input"
+    cond_inject: str = "input"       # input | bottleneck (innermost concat)
+    remat: bool = False              # rematerialize U-Net levels (256px HBM)
+    remat_blocks: int = -1           # remat only the innermost N levels
+                                    # (-1 = all); outer levels hold the
+                                    # largest activations, so full remat is
+                                    # the big memory win
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                  train: bool = True) -> jnp.ndarray:
-        if self.cond_inject == "input":
+        if self.cond_inject not in ("input", "bottleneck"):
+            # loud: a typo here must not silently train an UNCONDITIONAL G
+            raise NotImplementedError(
+                f"cond_inject [{self.cond_inject}] (want input | bottleneck)")
+        bottleneck = self.cond_inject == "bottleneck"
+        if not bottleneck:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
         kw = dict(norm=self.norm, dtype=self.dtype, kernel_init=self.kernel_init)
-        blk = UnetSkipBlock(self.ngf * 8, self.ngf * 8, innermost=True, **kw)
+        n_levels = self.num_downs - 1
+        n_remat = 0
+        if self.remat:
+            n_remat = (n_levels if self.remat_blocks < 0
+                       else min(self.remat_blocks, n_levels))
+        # explicit names keep the param tree IDENTICAL with remat on/off
+        # (nn.remat's auto-name would be CheckpointUnetSkipBlock_<i>, making
+        # --remat a checkpoint-breaking flag — same trap as ResnetGenerator).
+        # Construction order (innermost first) matches the auto-name counter
+        # the pre-remat checkpoints were saved under.
+        remat_cls = nn.remat(UnetSkipBlock, static_argnums=(2,))
+        i = 0
+
+        def cls(**fields):
+            nonlocal i
+            c = remat_cls if i < n_remat else UnetSkipBlock
+            blk = c(name=f"UnetSkipBlock_{i}", **fields, **kw)
+            i += 1
+            return blk
+
+        blk = cls(outer_nc=self.ngf * 8, inner_nc=self.ngf * 8,
+                  innermost=True, inject_cond=bottleneck)
         for _ in range(self.num_downs - 5):
-            blk = UnetSkipBlock(self.ngf * 8, self.ngf * 8, submodule=blk,
-                                use_dropout=self.use_dropout, **kw)
-        blk = UnetSkipBlock(self.ngf * 4, self.ngf * 8, submodule=blk, **kw)
-        blk = UnetSkipBlock(self.ngf * 2, self.ngf * 4, submodule=blk, **kw)
-        blk = UnetSkipBlock(self.ngf, self.ngf * 2, submodule=blk, **kw)
-        blk = UnetSkipBlock(self.output_nc, self.ngf, submodule=blk,
-                            outermost=True, **kw)
-        return blk(x, train)
+            blk = cls(outer_nc=self.ngf * 8, inner_nc=self.ngf * 8,
+                      submodule=blk, use_dropout=self.use_dropout)
+        blk = cls(outer_nc=self.ngf * 4, inner_nc=self.ngf * 8, submodule=blk)
+        blk = cls(outer_nc=self.ngf * 2, inner_nc=self.ngf * 4, submodule=blk)
+        blk = cls(outer_nc=self.ngf, inner_nc=self.ngf * 2, submodule=blk)
+        blk = cls(outer_nc=self.output_nc, inner_nc=self.ngf, submodule=blk,
+                  outermost=True)
+        return blk(x, train, cond if bottleneck else None)

@@ -52,10 +52,15 @@ def define_G(cfg: Config) -> nn.Module:
                                lowch_matmul=cfg.model.lowch_matmul, **kw)
     if base.startswith("unet_"):
         # template naming: unet_<image size>, num_downs = log2(size)
+        # (no lowch_matmul dial here: the unet stem is a 4x4 s2 conv whose
+        # tap count already fills MXU lanes — the tap-matmul reformulation
+        # targets the resnet G's 7x7 stride-1 reflect convs)
         size = int(base.split("_")[1])
         if size & (size - 1):
             raise NotImplementedError(f"netG [{name}]: size must be a power of 2")
-        return UnetGenerator(num_downs=size.bit_length() - 1, **kw)
+        return UnetGenerator(num_downs=size.bit_length() - 1,
+                             remat=cfg.model.remat,
+                             remat_blocks=cfg.model.remat_blocks, **kw)
     raise NotImplementedError(f"netG [{name}] not implemented")
 
 

@@ -108,9 +108,14 @@ def decode_batch(paths: Sequence[str], height: int, width: int,
     n = len(paths)
     if out is None:
         out = np.empty((n, height, width, 3), np.uint8)
-    else:
-        assert out.shape == (n, height, width, 3) and out.dtype == np.uint8 \
-            and out.flags.c_contiguous
+    elif (out.shape != (n, height, width, 3) or out.dtype != np.uint8
+          or not out.flags.c_contiguous):
+        # explicit check (not assert): this is an FFI boundary — under
+        # `python -O` a stripped assert would let the C++ decoder write out
+        # of bounds of a caller-provided buffer
+        raise ValueError(
+            f"out buffer must be C-contiguous uint8 of shape "
+            f"{(n, height, width, 3)}, got {out.dtype} {out.shape}")
     status = np.zeros(n, np.int32)
     if n == 0:
         return out, status

@@ -53,6 +53,8 @@ def main(argv=None):
                                     use_ema=cfg.run.use_ema)
     print(f"loaded generator checkpoint [{cfg.run.epoch}{suffix}]",
           flush=True)
+    from pcgan_tpu.utils.summary import print_networks
+    print_networks({"G": g_vars["params"]}, verbose=cfg.run.verbose)
 
     ds = data_loader.create_dataset(cfg, train=False)
     bs = min(cfg.data.batch_size, cfg.run.num_test)

@@ -148,3 +148,30 @@ def test_with_bins():
     batch = next(iter(with_bins(iter(ld), 10)))
     assert batch["bin"].dtype == np.int32
     assert (batch["bin"] >= 0).all() and (batch["bin"] < 10).all()
+
+
+def test_load_size_guard_only_rejects_dct_shrunk_canvas(tmp_path):
+    """ADVICE r2 (high): at full decode (--host_decode_m 8) load_size > the
+    200px native canvas must keep working (device upsamples, the reference's
+    PIL-resize behavior — scripts/train_256_fid.sh uses --load_size 286);
+    the guard fires only when the DCT fast path ACTUALLY shrank the canvas
+    below the resolution this load_size needs."""
+    from PIL import Image
+    from pcgan_tpu.config import Config, DataConfig
+    from pcgan_tpu.data.loader import create_dataset
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (200, 200, 3), dtype=np.uint8)
+                        ).save(tmp_path / f"{20+i}_0_0_x.jpg", quality=95)
+
+    def cfg(load_size, m):
+        return Config(data=DataConfig(dataroot=str(tmp_path),
+                                      load_size=load_size, host_decode_m=m))
+
+    assert create_dataset(cfg(286, 8)).out_size == 200   # 256px recipe: OK
+    assert create_dataset(cfg(143, 8)).out_size == 200   # default: OK
+    assert create_dataset(cfg(96, 4)).out_size == 100    # m=4 canvas covers
+    with pytest.raises(ValueError):
+        create_dataset(cfg(143, 4))   # 100px canvas < 143 needed: reject
+    with pytest.raises(ValueError):
+        create_dataset(cfg(286, 4))   # shrunk below native too: reject

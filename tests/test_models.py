@@ -177,3 +177,71 @@ def test_partial_remat_matches_full():
     np.testing.assert_allclose(l1, l0, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads0)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_unet_bottleneck_injection(rng):
+    """Unet twin of test_generator_bottleneck_injection (VERDICT r2 item 2):
+    cond_inject=bottleneck must actually CONDITION the unet — a silent drop
+    trains an unconditional G with healthy-looking losses."""
+    cfg = _cfg(netG="unet_128", cond_inject="bottleneck")
+    G = define_G(cfg)
+    x = jax.random.normal(rng, (1, 128, 128, 3))
+    c0 = jnp.eye(cfg.data.n_age_bins)[:1]
+    c1 = jnp.roll(c0, 5, axis=-1)
+    variables = init_params(G, rng, x, c0)
+    y0 = G.apply(variables, x, c0, train=False)
+    y1 = G.apply(variables, x, c1, train=False)
+    assert y0.shape == (1, 128, 128, 3)
+    assert float(jnp.max(jnp.abs(y0 - y1))) > 1e-6
+
+
+@pytest.mark.parametrize("netG", ["resnet_6blocks", "unet_128"])
+def test_invalid_cond_inject_raises(netG, rng):
+    cfg = _cfg(netG=netG, cond_inject="bottlneck")  # typo must be LOUD
+    G = define_G(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    cond = jnp.eye(cfg.data.n_age_bins)[:1]
+    with pytest.raises(NotImplementedError):
+        init_params(G, rng, x, cond)
+
+
+def test_unet_remat_matches_and_keeps_param_names(rng):
+    """--remat on the unet is a pure memory dial: identical params tree
+    (checkpoint-compatible names) and identical outputs/grads."""
+    import numpy as np
+    x = jax.random.normal(rng, (1, 128, 128, 3))
+    cond = jnp.eye(10)[:1]
+    g0 = define_G(_cfg(netG="unet_128"))
+    g1 = define_G(_cfg(netG="unet_128", remat=True))
+    v = init_params(g0, rng, x, cond)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(init_params(g1, rng, x, cond)))
+
+    def loss(g, v):
+        return jnp.sum(g.apply(v, x, cond, train=False) ** 2)
+
+    l0, grads0 = jax.value_and_grad(lambda w: loss(g0, w))(v)
+    l1, grads1 = jax.value_and_grad(lambda w: loss(g1, w))(v)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads0)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_print_networks_summary(capsys, rng):
+    """--verbose surface (VERDICT r2 item 7): param counts always print;
+    verbose adds the per-path parameter table."""
+    from pcgan_tpu.utils.summary import count_params, print_networks
+    cfg = _cfg(netG="resnet_6blocks", ngf=8)
+    G = define_G(cfg)
+    v = init_params(G, rng, jnp.zeros((1, 64, 64, 3)),
+                    jnp.eye(cfg.data.n_age_bins)[:1])
+    n = count_params(v["params"])
+    assert n > 1000
+    print_networks({"G": v["params"], "C (frozen)": None}, verbose=False)
+    out = capsys.readouterr().out
+    assert f"{n / 1e6:.3f} M" in out and "Networks initialized" in out
+    assert "C (frozen)" not in out        # None nets are skipped
+    assert "kernel" not in out            # table only under verbose
+    print_networks({"G": v["params"]}, verbose=True)
+    out = capsys.readouterr().out
+    assert "kernel" in out and "float32" in out

@@ -121,6 +121,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             cfg, train=dataclasses.replace(cfg.train, pool_size=pool))
     state = create_train_state(cfg, G, D, rng, steps_per_epoch,
                                c_vars=c_vars, bin_anchors=bin_anchors)
+    from pcgan_tpu.utils.summary import print_networks
+    print_networks({"G": state.g_params, "D": state.d_params,
+                    "C (frozen)": c_vars["params"] if c_vars else None},
+                   verbose=cfg.run.verbose)
     if cfg.train.init_g_from and not cfg.train.continue_train:
         # warm-start G from a G-only checkpoint (e.g. an imported reference
         # .pth, tools/import_pth.py) — fresh D and optimizers
@@ -374,6 +378,8 @@ def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     C = define_C(cfg)
     state = create_comparator_state(cfg, C, jax.random.PRNGKey(cfg.train.seed),
                                     steps_per_epoch)
+    from pcgan_tpu.utils.summary import print_networks
+    print_networks({"C": state.params}, verbose=cfg.run.verbose)
     state = jax.device_put(state, NamedSharding(mesh, P()))
     step_fn = make_parallel_comparator_step(cfg, C, steps_per_epoch, mesh=mesh)
 
