@@ -43,7 +43,20 @@ def main(argv=None):
                                     cfg.run.name, cfg.run.epoch,
                                     use_ema=cfg.run.use_ema)
 
-    run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg))
+    # distributed eval (SURVEY.md SS3.2 metric-reduction row): shard batches
+    # over the mesh's data axis so FID uses every chip; fall back to
+    # single-device when the batch cannot split evenly
+    from pcgan_tpu.parallel import make_mesh
+    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    n_data = mesh.shape.get("data", 1)
+    if n_data > 1 and cfg.data.batch_size % n_data:
+        print(f"eval: --batch_size {cfg.data.batch_size} does not divide the "
+              f"mesh data axis ({n_data}); using one device", flush=True)
+        mesh = None
+    elif n_data > 1:
+        print(f"eval: sharding batches across {n_data} devices", flush=True)
+
+    run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
     ds = data_loader.create_dataset(cfg, train=False)
     ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=False,
                             drop_last=True,

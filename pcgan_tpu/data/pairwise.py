@@ -43,6 +43,23 @@ class PairwiseComparisonDataset:
                 "label": np.int32(label)}
 
 
+class Subset:
+    """Index-subset view over any get_raw dataset — used to hold out a
+    fraction of comparison pairs so pretraining accuracy is measured
+    OUT-OF-SAMPLE (VERDICT r2 item 5: train-batch accuracy is not an
+    eval metric)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get_raw(self, i: int):
+        return self.base.get_raw(int(self.indices[i]))
+
+
 class _ImageLoaderMixin:
     """Shared host decode: JPEG/PNG -> fixed native-canvas u8 (device pipeline
     needs static shapes; same convention as UTKFaceDataset)."""

@@ -16,7 +16,8 @@ from pcgan_tpu.ops import fid as fid_ops
 from pcgan_tpu.ops.preprocess import make_preprocess
 
 
-def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
+def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
+                       mesh=None):
     """Returns f(g_vars, raw_batch_iter, max_images, seed) -> metrics dict.
 
     raw_batch_iter yields {'image': u8 native, 'bin': int32}. Per batch, one
@@ -28,11 +29,26 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
     cond_mode=score: targets are the permuted real bins' score-ladder values
     (so the generated condition marginal still matches the real one), encoded
     through the comparator's bin-mean range when available.
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis distributes eval across
+    ALL chips (SURVEY.md SS3.2 "psum/all_gather for cross-device metric
+    reduction", VERDICT r2 item 4): batches shard along the data axis,
+    g_vars/stats stay replicated, and XLA inserts the cross-chip reductions
+    when the per-shard feature sums fold into the replicated streaming
+    stats — identical math to single-device up to f32 summation order.
+    Requires batch_size % mesh.shape['data'] == 0; pass mesh=None (or a
+    1-device mesh) for single-chip eval.
     """
     nb = cfg.data.n_age_bins
     score_mode = cfg.model.cond_mode == "score"
     feature_fn, d = make_feature_extractor(cfg, comparator)
     pre = make_preprocess(cfg, train=False)
+    if mesh is not None and mesh.shape.get("data", 1) <= 1:
+        mesh = None
+    if mesh is not None and cfg.data.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"distributed eval needs --batch_size {cfg.data.batch_size} "
+            f"divisible by the mesh data axis ({mesh.shape['data']})")
     bin_means = None
     if comparator is not None:
         # accept host (numpy) snapshots — callers pass device_get copies so
@@ -42,6 +58,13 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
             bin_means = jnp.asarray(comparator[4])
         comparator = (C, jax.tree.map(jnp.asarray, c_vars),
                       jnp.asarray(lo), jnp.asarray(hi))
+
+    def _constrain_repl(tree):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P())), tree)
 
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n):
@@ -67,20 +90,34 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None):
             ok = (mu >= lo[target_bin]) & (mu < hi[target_bin])
             hits = hits + jnp.sum(ok)
             n = n + mu.shape[0]
-        return r_stats, f_stats, hits, n
+        # keep the streaming stats replicated: the per-shard partial sums
+        # all-reduce here (the 'psum' of the shard_map design, GSPMD-derived)
+        return _constrain_repl((r_stats, f_stats, hits, n))
+
+    def _put_batch(v):
+        v = jnp.asarray(v)
+        if mesh is None:
+            return v
+        from pcgan_tpu.parallel.mesh import put_global_batch
+        return put_global_batch({"x": np.asarray(v)}, mesh)["x"]
 
     def run(g_vars, raw_iter: Iterator[Dict], max_images: int = 512,
             seed: int = 0) -> Dict[str, float]:
         r_stats, f_stats = fid_ops.init_stats(d), fid_ops.init_stats(d)
         hits = jnp.zeros((), jnp.int32)
         n = jnp.zeros((), jnp.int32)
+        if mesh is not None:
+            from pcgan_tpu.parallel.mesh import replicated
+            rep = replicated(mesh)
+            g_vars, r_stats, f_stats, hits, n = jax.device_put(
+                (g_vars, r_stats, f_stats, hits, n), rep)
         rng = np.random.default_rng(seed)
         seen = 0
         for raw in raw_iter:
-            perm = jnp.asarray(rng.permutation(raw["image"].shape[0]))
+            perm = rng.permutation(raw["image"].shape[0])
             r_stats, f_stats, hits, n = eval_batch(
-                g_vars, jnp.asarray(raw["image"]), jnp.asarray(raw["bin"]),
-                perm, r_stats, f_stats, hits, n)
+                g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
+                _put_batch(perm), r_stats, f_stats, hits, n)
             seen += int(raw["image"].shape[0])
             if max_images and seen >= max_images:
                 break

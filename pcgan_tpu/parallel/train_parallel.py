@@ -66,15 +66,25 @@ def _state_pspecs(state: TrainState) -> Any:
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Lay the freshly-created state out on the mesh (replicated params,
-    sharded pool). Pool size must divide the data-axis size."""
+    sharded pool). Pool size must divide the data-axis size.
+
+    Multi-process meshes (SURVEY.md SS3.2): every process calls this with the
+    same host state (identical seeds) and contributes its addressable shards
+    via make_array_from_callback — device_put cannot target non-addressable
+    devices, so the callback form is the pod-correct placement for the
+    sharded pool buffers (and a no-op difference single-process)."""
     n = mesh.shape[AXIS]
     if not _pool_disabled(state) and state.pool.imgs.shape[0] % max(n, 1):
         raise ValueError(
             f"pool_size {state.pool.imgs.shape[0]} must divide data axis {n}")
     specs = _state_pspecs(state)
-    return jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
-        state, specs)
+
+    def put(x, spec):
+        x = jnp.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec), lambda idx: x[idx])
+
+    return jax.tree.map(put, state, specs)
 
 
 def make_parallel_train_step(cfg: Config, G, D, C=None,

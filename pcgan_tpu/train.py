@@ -137,6 +137,11 @@ class TrainState:
     score_min: jnp.ndarray              # scalar raw-score range for cond_mode=
     score_max: jnp.ndarray              # 'score' normalization (bin-mean extremes)
     lr_scale: jnp.ndarray               # host-driven LR factor (plateau policy)
+    # plateau scheduler memory (SURVEY.md SS6 "resume is exact"): the host
+    # feeds these back into PlateauScheduler on --continue_train so a run 4
+    # bad-epochs into a 5-patience window stays 4 bad-epochs in after restart
+    plateau_best: jnp.ndarray           # scalar f32, best metric so far
+    plateau_bad: jnp.ndarray            # scalar f32, consecutive bad epochs
     pool: image_pool.PoolState
     rng: jax.Array
     ema_params: Any = None              # EMA twin of g_params (--ema_decay>0)
@@ -188,6 +193,7 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
         c_vars=c_vars, bin_lo=bin_lo, bin_hi=bin_hi,
         score_min=score_min, score_max=score_max,
         lr_scale=jnp.float32(1.0),
+        plateau_best=jnp.float32(jnp.inf), plateau_bad=jnp.float32(0.0),
         pool=image_pool.init_pool(
             cfg.train.pool_size, (s, s, cfg.data.output_nc), cond_nc),
         rng=rs,

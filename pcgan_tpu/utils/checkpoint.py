@@ -58,6 +58,91 @@ def restore(target: Any, checkpoints_dir: str, name: str,
                                                target))
 
 
+def restore_state(state: Any, checkpoints_dir: str, name: str,
+                  tag: str = "latest") -> Any:
+    """Restore a TrainState with STRUCTURE ADAPTATION instead of orbax's
+    opaque tree-mismatch error (ADVICE r2; SURVEY.md SS6 failure-recovery row):
+
+    - checkpoint carries EMA params but the resume runs ``--ema_decay 0``:
+      the twin is dropped with a printed notice;
+    - resume runs ``--ema_decay > 0`` but the checkpoint has no EMA twin:
+      EMA is seeded from the restored G params (ramp debiases it);
+    - the checkpoint predates newer TrainState scalars (e.g. plateau
+      memory): those keep their fresh-init values with a notice.
+
+    Anything else that mismatches still fails loudly — silently dropping a
+    param tree would be worse than the orbax error.
+    """
+    import dataclasses
+    path = _dir(checkpoints_dir, name, tag)
+    c = _ckpt()
+    c.wait_until_finished()
+    try:
+        meta = c.metadata(path).item_metadata.tree
+    except Exception:
+        meta = None
+    if not isinstance(meta, dict):
+        return restore(state, checkpoints_dir, name, tag)
+
+    fields = {f.name: getattr(state, f.name)
+              for f in dataclasses.fields(state)}
+    notes, target, fill_ema, drop = [], {}, False, set()
+    for key in meta:
+        if key not in fields:
+            raise ValueError(
+                f"checkpoint {path} contains unknown field '{key}' — it was "
+                f"written by a newer version of this code")
+        tmpl = fields[key]
+        if key == "ema_params" and meta[key] is not None and tmpl is None:
+            notes.append("checkpoint has an EMA twin but --ema_decay is 0: "
+                         "dropping it (pass --ema_decay to keep updating it)")
+            target[key] = fields["g_params"]   # stand-in: EMA mirrors G
+            drop.add(key)
+            continue
+        if meta[key] is None and tmpl is not None:
+            if key == "c_vars":
+                notes.append("checkpoint has no comparator variables: "
+                             "keeping the freshly loaded ones")
+                drop.add(key)
+                target[key] = None
+                continue
+            if key == "ema_params":
+                notes.append("checkpoint has no EMA twin but --ema_decay > "
+                             "0: seeding EMA from the restored G params")
+                fill_ema = True
+                drop.add(key)
+                target[key] = None
+                continue
+            raise ValueError(
+                f"checkpoint {path} has no '{key}' but this run needs one "
+                f"(saved with different flags?)")
+        if meta[key] is not None and tmpl is None:
+            raise ValueError(
+                f"checkpoint {path} carries '{key}' but this run has nowhere "
+                f"to put it (for c_vars: pass the same --comparator_path as "
+                f"the saved run)")
+        target[key] = None if meta[key] is None else tmpl
+    for key, tmpl in fields.items():
+        if key in target or (key in meta):
+            continue
+        if key == "ema_params" and tmpl is not None:
+            notes.append("checkpoint has no EMA twin but --ema_decay > 0: "
+                         "seeding EMA from the restored G params")
+            fill_ema = True
+        elif tmpl is not None:
+            notes.append(f"checkpoint predates '{key}': keeping its fresh "
+                         f"init value")
+    restored = c.restore(
+        path, target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target))
+    kwargs = {k: v for k, v in restored.items() if k not in drop}
+    if fill_ema:
+        kwargs["ema_params"] = jax.tree.map(
+            lambda x: x.copy(), restored["g_params"])
+    for n in notes:
+        print(f"restore: {n}", flush=True)
+    return state.replace(**kwargs)
+
+
 def save_generator(state: Any, checkpoints_dir: str, name: str,
                    tag: str = "latest", wait: bool = False,
                    use_ema: bool = False) -> str:

@@ -202,3 +202,59 @@ def test_restore_across_topology_change_reverse(tmp_path):
     s1, m = step8(restored, batch)
     assert np.isfinite(float(jax.device_get(m["loss_G"])))
     assert int(jax.device_get(s1.step)) == 1
+
+
+def _cfg_ema(ema):
+    cfg = _cfg()
+    import dataclasses
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=ema))
+
+
+def test_restore_state_adapts_ema_toggle(tmp_path, capsys):
+    """ADVICE r2: resuming after toggling --ema_decay must not die with an
+    opaque orbax structure error. on->off drops the twin; off->on seeds it
+    from the restored G params."""
+    G, D = define_G(_cfg()), define_D(_cfg())
+    ema_state = create_train_state(_cfg_ema(0.99), G, D,
+                                   jax.random.PRNGKey(0), 10)
+    ckpt.save(ema_state, str(tmp_path), "adapt", "latest", wait=True)
+
+    # on -> off: checkpoint has the twin, resume target doesn't
+    plain = create_train_state(_cfg_ema(0.0), G, D, jax.random.PRNGKey(1), 10)
+    restored = ckpt.restore_state(plain, str(tmp_path), "adapt", "latest")
+    assert restored.ema_params is None
+    assert "dropping it" in capsys.readouterr().out
+    for a, b in zip(jax.tree_util.tree_leaves(ema_state.g_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # off -> on: checkpoint lacks the twin, target wants one
+    ckpt.save(plain, str(tmp_path), "adapt2", "latest", wait=True)
+    want_ema = create_train_state(_cfg_ema(0.99), G, D,
+                                  jax.random.PRNGKey(2), 10)
+    restored = ckpt.restore_state(want_ema, str(tmp_path), "adapt2", "latest")
+    assert "seeding EMA" in capsys.readouterr().out
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_state_tolerates_missing_new_scalars(tmp_path, capsys):
+    """Round-2 checkpoints predate plateau_best/plateau_bad: restoring one
+    must keep the fresh-init values instead of failing (restore_state)."""
+    import dataclasses
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    # simulate an old checkpoint: save the state WITHOUT the new fields
+    old = {f.name: getattr(state, f.name)
+           for f in dataclasses.fields(state)
+           if f.name not in ("plateau_best", "plateau_bad")}
+    ckpt.save(old, str(tmp_path), "old", "latest", wait=True)
+    restored = ckpt.restore_state(state.replace(step=jnp.int32(7)),
+                                  str(tmp_path), "old", "latest")
+    out = capsys.readouterr().out
+    assert "predates 'plateau_best'" in out
+    assert int(restored.step) == 0            # from the checkpoint
+    assert not np.isfinite(float(restored.plateau_best))   # fresh init (inf)

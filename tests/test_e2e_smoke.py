@@ -59,14 +59,55 @@ def test_train_then_sample_then_resume(workdir):
     # input + 4 bins per grid, 2 grids
     assert len(pngs) == 2 * 5, pngs
 
-    # resume: continue_train from latest must pick up the step counter
+    # resume: continue_train from latest must pick up the step counter.
+    # epoch_count stays at its ORIGINAL value (default 1) — the start epoch
+    # is derived from the restored step (exact-resume semantics, r3)
     train_cli.main(COMMON + [
         "--checkpoints_dir", ckpt_dir, "--niter", "3", "--niter_decay", "0",
         "--print_freq", "2", "--save_epoch_freq", "3", "--pool_size", "8",
-        "--continue_train", "--epoch_count", "3",
+        "--continue_train",
     ])
     lines2 = open(os.path.join(ckpt_dir, "smoke", "metrics.jsonl")).readlines()
     assert len(lines2) > len(lines)
+
+
+@pytest.mark.slow
+def test_resume_replays_metric_stream_exactly(workdir):
+    """SURVEY.md SS6 'resume is exact' (VERDICT r2 item 6): a run killed at
+    epoch 2 and resumed must produce BIT-IDENTICAL metrics to the
+    uninterrupted run — same data order (loader epoch cursor derived from
+    the restored step), same LR trajectory, same pool/rng streams."""
+    import json as _json
+    import train as train_cli
+
+    def metrics(ckpt_dir):
+        return [_json.loads(l) for l in
+                open(os.path.join(ckpt_dir, "smoke", "metrics.jsonl"))]
+
+    args = COMMON + ["--print_freq", "1", "--niter_decay", "0",
+                     "--pool_size", "8", "--save_epoch_freq", "2",
+                     "--lambda_L1", "50.0"]
+    full_dir = str(workdir / "ckpt_full")
+    train_cli.main(args + ["--checkpoints_dir", full_dir, "--niter", "4"])
+    split_dir = str(workdir / "ckpt_split")
+    train_cli.main(args + ["--checkpoints_dir", split_dir, "--niter", "2"])
+    train_cli.main(args + ["--checkpoints_dir", split_dir, "--niter", "4",
+                           "--continue_train"])
+
+    full = {r["step"]: r for r in metrics(full_dir) if "loss_G" in r}
+    split = {r["step"]: r for r in metrics(split_dir) if "loss_G" in r}
+    assert set(full) == set(split) and len(full) == 16
+    resumed_steps = [s for s in full if s > 8]
+    assert resumed_steps
+    for s in full:
+        for k in ("loss_G", "loss_D", "loss_G_L1", "lr", "epoch"):
+            if k == "lr" and s == 8:
+                # the split's FIRST leg ran with --niter 2, so its final
+                # boundary log prints the (already-decayed) next-epoch lr;
+                # the applied update lrs (optax count 0..7) are identical —
+                # proven by the bit-equal losses at steps 9..16
+                continue
+            assert full[s][k] == split[s][k], (s, k, full[s][k], split[s][k])
 
 
 @pytest.mark.slow
@@ -246,3 +287,27 @@ def test_init_g_from_warm_start(workdir):
              for a, b in zip(jax.tree.leaves(student["params"]),
                              jax.tree.leaves(donor["params"]))]
     assert 0 < max(diffs) < 0.01, diffs
+
+
+@pytest.mark.slow
+def test_evaluate_cli_distributed(workdir):
+    """evaluate.py on the full 8-device mesh (VERDICT r2 item 4): the CLI
+    must report sharded eval and produce a finite FID."""
+    ckpt_dir = str(workdir / "ckpt_eval")
+    results_dir = str(workdir / "results_eval")
+    import train as train_cli
+    import evaluate as eval_cli
+    base = [a for a in COMMON if a not in ("--mesh_shape", "1")]
+    train_cli.main(base + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "4", "--save_epoch_freq", "1", "--pool_size", "8",
+        "--batch_size", "8",
+    ])
+    eval_cli.main(base + [
+        "--checkpoints_dir", ckpt_dir, "--results_dir", results_dir,
+        "--num_test", "16", "--batch_size", "8",
+    ])
+    recs = [json.loads(l) for l in
+            open(os.path.join(results_dir, "smoke", "eval.jsonl"))]
+    assert recs and np.isfinite(recs[-1]["fid"])
+    assert recs[-1]["fid_images"] == 16

@@ -92,3 +92,39 @@ def test_psum_reduction_across_mesh(np_rng):
     np.testing.assert_allclose(np.asarray(st.ss), np.asarray(both.ss),
                                rtol=1e-4)
     assert float(st.count) == 64
+
+
+def test_sharded_evaluator_matches_single_device(np_rng):
+    """VERDICT r2 item 4: make_fid_evaluator(mesh=...) must produce the same
+    FID/cond-free metrics as the single-device evaluator — eval actually
+    distributes over the data axis instead of idling 7 of 8 chips."""
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G, init_params
+    from pcgan_tpu.parallel import make_mesh
+
+    cfg = Config(
+        data=DataConfig(batch_size=8, crop_size=32, load_size=32,
+                        n_age_bins=4),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, dtype="float32"))
+    G = define_G(cfg)
+    g_vars = init_params(G, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
+                         train=False)
+
+    def raw_iter():
+        r = np.random.default_rng(7)
+        for _ in range(3):
+            yield {"image": r.integers(0, 255, (8, 40, 40, 3), np.uint8),
+                   "bin": r.integers(0, 4, (8,), np.int32)}
+
+    single = make_fid_evaluator(cfg, G)(g_vars, raw_iter(), max_images=24,
+                                        seed=3)
+    mesh = make_mesh((-1,), ("data",))
+    assert mesh.shape["data"] == 8   # suite runs on the virtual 8-dev mesh
+    sharded = make_fid_evaluator(cfg, G, mesh=mesh)(g_vars, raw_iter(),
+                                                    max_images=24, seed=3)
+    assert sharded["fid_images"] == single["fid_images"] == 24
+    # identical math up to f32 summation order (per-shard partial sums)
+    assert abs(sharded["fid"] - single["fid"]) < 1e-3 * max(
+        1.0, abs(single["fid"])), (sharded, single)

@@ -50,34 +50,40 @@ def main(argv=None):
         raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
                          f"the mesh data axis ({n_data})")
 
-    ds = data_loader.create_dataset(cfg, train=True)
-    n_proc = jax.process_count()
-    if cfg.data.batch_size % max(1, n_proc):
-        raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
-                         f"process count {n_proc}")
-    ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
-                            shuffle=not cfg.data.serial_batches,
-                            num_threads=cfg.data.num_threads,
-                            seed=cfg.train.seed,
-                            shard_id=jax.process_index(),
-                            num_shards=n_proc)
-    steps_per_epoch = max(1, len(ld))
-    print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
-          f"{steps_per_epoch} steps/epoch", flush=True)
-
     logger = MetricsLogger(run_dir)
     if cfg.model.model == "comparator":
-        _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir)
+        # comparator pretraining builds its own PAIRWISE loader (with a
+        # held-out split) — see _train_comparator
+        _train_comparator(cfg, mesh, logger, run_dir)
     else:
+        ds = data_loader.create_dataset(cfg, train=True)
+        n_proc = jax.process_count()
+        if cfg.data.batch_size % max(1, n_proc):
+            raise SystemExit(f"--batch_size {cfg.data.batch_size} must "
+                             f"divide process count {n_proc}")
+        ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
+                                shuffle=not cfg.data.serial_batches,
+                                num_threads=cfg.data.num_threads,
+                                seed=cfg.train.seed,
+                                shard_id=jax.process_index(),
+                                num_shards=n_proc)
+        steps_per_epoch = max(1, len(ld))
+        print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
+              f"{steps_per_epoch} steps/epoch", flush=True)
         _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir)
     ckpt.wait_all()
     logger.close()
 
 
-def _epoch_iter(cfg, ld, mesh):
+def _epoch_iter(cfg, ld, mesh, skip: int = 0):
     """One epoch of mesh-sharded raw batches, decoded + transferred on a
     background thread so host IO overlaps device compute (SURVEY.md SS4.1:
-    the decode path is the reference's throughput ceiling)."""
+    the decode path is the reference's throughput ceiling).
+
+    ``skip``: drop the first N batches BEFORE device transfer — exact
+    mid-epoch resume replays the epoch's (seeded) permutation and skips the
+    batches the restored step count already consumed."""
+    import itertools
     from pcgan_tpu.data.loader import device_prefetch, with_bins
     from pcgan_tpu.parallel.mesh import put_global_batch
 
@@ -85,8 +91,10 @@ def _epoch_iter(cfg, ld, mesh):
         for b in it:
             yield put_global_batch(b, mesh)
 
-    it = shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
-                              cfg.data.max_age))
+    base = iter(ld)
+    if skip:
+        base = itertools.islice(base, skip, None)
+    it = shard_puts(with_bins(base, cfg.data.n_age_bins, cfg.data.max_age))
     return device_prefetch(it, size=cfg.data.prefetch)
 
 
@@ -139,11 +147,24 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             ema_params=(jax.tree.map(jnp.copy, g_params)
                         if cfg.train.ema_decay > 0 else None))
         print(f"initialized G from [{cfg.train.init_g_from}]", flush=True)
+    epochs_done = resume_skip = 0
     if cfg.train.continue_train and ckpt.exists(
             cfg.run.checkpoints_dir, cfg.run.name, cfg.run.epoch):
-        state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
-                             cfg.run.epoch)
-        print(f"resumed from step {int(state.step)}", flush=True)
+        state = ckpt.restore_state(state, cfg.run.checkpoints_dir,
+                                   cfg.run.name, cfg.run.epoch)
+        # exact host-state resume (SURVEY.md SS6 "resume is exact"): derive
+        # the data cursor from the restored step — the loader replays the
+        # right epoch's seeded permutation and skips already-consumed
+        # batches, so the resumed data order matches the uninterrupted run.
+        # (Keep --epoch_count at its ORIGINAL value when resuming; the loop
+        # start is derived, not read from the flag.)
+        epochs_done = int(state.step) // steps_per_epoch
+        resume_skip = int(state.step) % steps_per_epoch
+        ld.epoch = epochs_done
+        print(f"resumed from step {int(state.step)} (epoch "
+              f"{cfg.train.epoch_count + epochs_done}"
+              + (f", skipping {resume_skip} consumed batches"
+                 if resume_skip else "") + ")", flush=True)
     if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
         # data x spatial mesh: GSPMD-partitioned step (XLA inserts conv halo
         # exchanges; parallel/auto.py) — used when 256px activations need
@@ -187,7 +208,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                       jax.device_get(bin_anchors[2])
                       if bin_anchors and len(bin_anchors) > 2 else None
                       ) if C else None
-        run_fid = make_fid_evaluator(cfg, G, cmp_bundle)
+        # in-training FID shards across the training mesh's data axis
+        # (batch divisibility is already enforced at startup)
+        run_fid = make_fid_evaluator(cfg, G, cmp_bundle, mesh=mesh)
         eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
                          num_threads=cfg.data.num_threads)
 
@@ -210,17 +233,21 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # state.lr_scale scalar (SURVEY.md SS2 C14)
         from pcgan_tpu.train import PlateauScheduler
         plateau = PlateauScheduler()
-        # resume keeps the decayed factor (it lives in the checkpointed state)
+        # resume restores the full scheduler memory from the checkpointed
+        # state — factor AND best/bad_epochs counters, so a run 4 bad-epochs
+        # into a 5-patience window stays there after restart
         lr_scale = float(jax.device_get(state.lr_scale))
         plateau.scale = lr_scale
+        plateau.best = float(jax.device_get(state.plateau_best))
+        plateau.bad_epochs = int(jax.device_get(state.plateau_bad))
 
     gstep = int(state.step)
-    for epoch in range(t.epoch_count, total_epochs + 1):
+    for epoch in range(t.epoch_count + epochs_done, total_epochs + 1):
         epoch_t0 = time.time()
         epoch_losses = []
         metrics = None
         timer.start()
-        for raw in _epoch_iter(cfg, ld, mesh):
+        for raw in _epoch_iter(cfg, ld, mesh, skip=resume_skip):
             _profile_tick(profiling, run_dir)
             state, metrics = step_fn(state, raw)
             gstep += 1
@@ -239,17 +266,24 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                            epoch=epoch, imgs_per_sec=rate,
                            lr=float(sched(gstep)) * lr_scale)
                 timer.start()
+        resume_skip = 0
         if plateau is not None and metrics is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
             metric = (float(np.mean(epoch_losses)) if epoch_losses
                       else float(jax.device_get(metrics)["loss_G"]))
             new_scale = plateau.update(metric)
+            repl = NamedSharding(mesh, P())
             if new_scale != lr_scale:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 lr_scale = new_scale
                 state = state.replace(lr_scale=jax.device_put(
-                    jnp.float32(lr_scale), NamedSharding(mesh, P())))
+                    jnp.float32(lr_scale), repl))
                 print(f"plateau: loss_G stalled at {metric:.4f}, lr scale -> "
                       f"{lr_scale:g}", flush=True)
+            # persist the scheduler's memory so resume is exact
+            state = state.replace(
+                plateau_best=jax.device_put(jnp.float32(plateau.best), repl),
+                plateau_bad=jax.device_put(jnp.float32(plateau.bad_epochs),
+                                           repl))
         # reference semantics: 'latest' every save_latest_freq ITERS.
         # checked at epoch boundaries (one dispatch point), so fire whenever
         # a freq boundary was crossed since the last save — a plain modulo
@@ -347,16 +381,22 @@ def _make_display(cfg, G, run_dir):
     return display
 
 
-def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
+def _train_comparator(cfg, mesh, logger, run_dir):
+    """Comparator pretraining (SURVEY.md SS4.3) with the same failure-recovery
+    story the GAN loop has (SURVEY.md SS6, VERDICT r2 item 5): epoch-cadence
+    checkpoints + --continue_train auto-resume (kill -9 loses at most one
+    epoch), and pairwise accuracy measured on a HELD-OUT comparison split,
+    not on training batches."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from pcgan_tpu.data import loader as data_loader
     from pcgan_tpu.data.loader import with_bins
+    from pcgan_tpu.data.pairwise import Subset
     from pcgan_tpu.models import define_C
+    from pcgan_tpu.models.comparator import comparison_accuracy
     from pcgan_tpu.parallel import make_parallel_comparator_step
-    from pcgan_tpu.parallel.mesh import batch_sharding
     from pcgan_tpu.train import (compute_bin_anchors, compute_quantile_anchors,
                                  create_comparator_state)
     from pcgan_tpu.utils import checkpoint as ckpt
@@ -370,28 +410,88 @@ def _train_comparator(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         pair_cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset_mode="pairwise"))
         ds = data_loader.create_dataset(pair_cfg, train=True)
-    ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=True,
+
+    # held-out split: ~10% of pairs (when there are enough to spare) are
+    # never trained on; epoch-end accuracy on them is the logged eval metric
+    n_eval = len(ds) // 10 if len(ds) >= 20 else 0
+    perm = np.random.default_rng(cfg.train.seed + 0x0e7a1).permutation(len(ds))
+    eval_ds = Subset(ds, perm[:n_eval]) if n_eval else None
+    train_ds = Subset(ds, perm[n_eval:]) if n_eval else ds
+
+    ld = data_loader.Loader(train_ds, cfg.data.batch_size, shuffle=True,
                             num_threads=cfg.data.num_threads,
                             seed=cfg.train.seed)
     steps_per_epoch = max(1, len(ld))
+    print(f"comparator pairs: {len(train_ds)} train / {n_eval} held out, "
+          f"{steps_per_epoch} steps/epoch", flush=True)
 
     C = define_C(cfg)
     state = create_comparator_state(cfg, C, jax.random.PRNGKey(cfg.train.seed),
                                     steps_per_epoch)
     from pcgan_tpu.utils.summary import print_networks
     print_networks({"C": state.params}, verbose=cfg.run.verbose)
+    epochs_done = resume_skip = 0
+    if cfg.train.continue_train and ckpt.exists(
+            cfg.run.checkpoints_dir, cfg.run.name, "cmp_latest"):
+        state = ckpt.restore(state, cfg.run.checkpoints_dir, cfg.run.name,
+                             "cmp_latest")
+        epochs_done = int(state.step) // steps_per_epoch
+        resume_skip = int(state.step) % steps_per_epoch
+        ld.epoch = epochs_done
+        print(f"resumed comparator from step {int(state.step)} (epoch "
+              f"{cfg.train.epoch_count + epochs_done})", flush=True)
     state = jax.device_put(state, NamedSharding(mesh, P()))
     step_fn = make_parallel_comparator_step(cfg, C, steps_per_epoch, mesh=mesh)
 
+    eval_acc = None
+    if eval_ds is not None:
+        pre = make_preprocess(cfg, train=False)
+        margin = cfg.model.tie_margin
+
+        @jax.jit
+        def _eval_batch(params, cstate, a, b, label):
+            xa = pre(jax.random.PRNGKey(0), {"image": a})["image"]
+            xb = pre(jax.random.PRNGKey(0), {"image": b})["image"]
+            bsz = xa.shape[0]
+            mu, log_var = C.apply({"params": params, **cstate},
+                                  jnp.concatenate([xa, xb], 0), train=False)
+            return comparison_accuracy(mu[:bsz], log_var[:bsz], mu[bsz:],
+                                       log_var[bsz:], label, margin)
+
+        eval_ld = data_loader.Loader(
+            eval_ds, min(cfg.data.batch_size, len(eval_ds)), shuffle=False,
+            num_threads=cfg.data.num_threads)
+
+        def eval_acc(state):
+            accs = [float(jax.device_get(_eval_batch(
+                state.params, state.state, jnp.asarray(r["image_a"]),
+                jnp.asarray(r["image_b"]), jnp.asarray(r["label"]))))
+                for r in iter(eval_ld)]
+            return float(np.mean(accs)) if accs else float("nan")
+
     total_epochs = cfg.train.niter + cfg.train.niter_decay
-    gstep = 0
-    for epoch in range(cfg.train.epoch_count, total_epochs + 1):
-        for raw in _shard_iter(ld, mesh):
+    gstep = int(state.step)
+    import itertools
+    for epoch in range(cfg.train.epoch_count + epochs_done, total_epochs + 1):
+        it = iter(ld)
+        if resume_skip:
+            it = itertools.islice(it, resume_skip, None)
+            resume_skip = 0
+        for raw in _shard_iter(it, mesh):
             state, metrics = step_fn(state, raw)
             gstep += 1
             if gstep % cfg.train.print_freq == 0:
                 logger.log(gstep, {k: float(v) for k, v in metrics.items()},
                            epoch=epoch)
+        if eval_acc is not None:
+            acc = eval_acc(state)
+            logger.log(gstep, {"eval_acc_cmp": acc}, epoch=epoch)
+            print(f"comparator held-out accuracy: {acc:.4f}", flush=True)
+        # preemption safety: latest every epoch, numbered per cadence
+        ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "cmp_latest")
+        if epoch % cfg.train.save_epoch_freq == 0:
+            ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
+                      f"cmp_epoch_{epoch}")
         print(f"End of comparator epoch {epoch}/{total_epochs}", flush=True)
 
     # compute score anchors on (a subset of) the underlying images: by age
