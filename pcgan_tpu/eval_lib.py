@@ -69,6 +69,9 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n):
         from pcgan_tpu.data.binning import bin_to_score, normalize_score
+        # PRNGKey(0) is deliberate: the eval transform (train=False) is a
+        # deterministic center crop with no flip, so the key is never
+        # consumed — a fixed key keeps eval bit-reproducible
         batch = pre(jax.random.PRNGKey(0), {"image": real_u8})
         real = batch["image"].astype(jnp.float32)
         target_bin = bins[perm]

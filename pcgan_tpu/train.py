@@ -255,6 +255,16 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                                               minval=-1.0, maxval=1.0)
             if C is not None:
                 mu_r, _ = C.apply(state.c_vars, real, train=False)
+                # the real-image scores need NO gradients (frozen C, constant
+                # input); stop_gradient + an optimization barrier keep the
+                # scoring subgraph out of the differentiated region AND out
+                # of XLA's cross-boundary fusion/layout search (compile-time
+                # knobs probed via tools/compile_probe.py)
+                import os as _os
+                if _os.environ.get("PCGAN_SG_REAL_SCORE"):
+                    mu_r = jax.lax.stop_gradient(mu_r)
+                if _os.environ.get("PCGAN_BARRIER_SCORE"):
+                    (mu_r,) = jax.lax.optimization_barrier((mu_r,))
                 s_real = normalize_score(mu_r, state.score_min,
                                          state.score_max)
             else:
@@ -363,7 +373,14 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)
                                     - real.astype(jnp.float32)))
             if use_cond_loss:
-                mu, log_var = C.apply(state.c_vars, fake, train=False)
+                import os as _os
+
+                def apply_c(imgs):
+                    return C.apply(state.c_vars, imgs, train=False)
+
+                if _os.environ.get("PCGAN_REMAT_CMP"):
+                    apply_c = jax.checkpoint(apply_c)
+                mu, log_var = apply_c(fake)
                 # onehot: NLL of the nearest in-bin score; score mode: the
                 # interval degenerates to the exact raw target score, making
                 # this the plain Gaussian NLL toward the conditioning score

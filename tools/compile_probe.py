@@ -36,6 +36,8 @@ def main():
                     default=True)
     ap.add_argument("--sg_real", action="store_true")
     ap.add_argument("--remat_cmp", action="store_true")
+    ap.add_argument("--ema", type=float, default=0.0)
+    ap.add_argument("--netG", default="resnet_9blocks")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
     if args.platform:
@@ -59,10 +61,11 @@ def main():
     cfg = Config(
         data=DataConfig(batch_size=args.batch, crop_size=args.size,
                         load_size=args.size + 15, n_age_bins=10),
-        model=ModelConfig(netG="resnet_9blocks", dtype=args.dtype,
+        model=ModelConfig(netG=args.netG, dtype=args.dtype,
                           cond_mode=cond_mode,
                           lowch_matmul=args.lowch_matmul),
-        train=TrainConfig(lambda_cond=lambda_cond, pool_size=64))
+        train=TrainConfig(lambda_cond=lambda_cond, pool_size=64,
+                          ema_decay=args.ema))
     if args.sg_real:
         os.environ["PCGAN_SG_REAL_SCORE"] = "1"
     if args.remat_cmp:
@@ -101,7 +104,8 @@ def main():
     t_warm = time.time() - t0
     print(f"PROBE variant={v} size={args.size} batch={args.batch} "
           f"dtype={args.dtype} lowch={args.lowch_matmul} sg_real={args.sg_real} "
-          f"remat_cmp={args.remat_cmp} compile_s={t_first - t_warm:.1f} "
+          f"remat_cmp={args.remat_cmp} ema={args.ema} netG={args.netG} "
+          f"compile_s={t_first - t_warm:.1f} "
           f"warm_s={t_warm:.3f} loss_G={metrics['loss_G']:.3f} "
           f"loss_G_cond={metrics['loss_G_cond']:.3f}", flush=True)
 
