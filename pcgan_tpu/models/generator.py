@@ -106,13 +106,21 @@ class ResnetGenerator(nn.Module):
         use_bias = norm_uses_bias(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
 
+        stem_cond = None
         if self.cond_inject == "input":
-            x = jnp.concatenate(
-                [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
+            if self.lowch_matmul and self.dtype == jnp.bfloat16:
+                # bf16 perf path: don't materialize the constant cond map —
+                # TorchConv folds those channels into an exact per-sample
+                # bias (see layers.py), skipping 10/13 of the stem FLOPs
+                stem_cond = cond
+            else:
+                x = jnp.concatenate(
+                    [x, broadcast_cond(cond, x.shape[1], x.shape[2],
+                                       x.dtype)], -1)
 
         h = TorchConv(self.ngf, 7, 1, 3, pad_mode="reflect",
                       use_bias=norm_bias, lowch_matmul=self.lowch_matmul,
-                      **kw)(x)
+                      **kw)(x, stem_cond)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.relu(h)
 

@@ -119,16 +119,45 @@ class TorchConv(nn.Module):
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 cond: jnp.ndarray = None) -> jnp.ndarray:
+        """``cond`` (N, nc): SEPARATED condition channels for the stem of a
+        conditional G (bf16 perf path). The conv of a spatially-CONSTANT
+        channel through a full stride-1 reflect pad is itself constant —
+        every output window sees all k*k taps of the constant — so those
+        channels contribute exactly a per-sample bias:
+
+            conv([x ; bcast(cond)], W) == conv(x, W_img)
+                                          + cond @ sum_taps(W_cond)
+
+        Computing the right-hand side skips nc/(nc+C_img) of the stem conv
+        FLOPs (10/13 at the default 10-bin onehot) and is EXACT in real
+        arithmetic; the kernel param keeps its concat shape
+        (k, k, C_img+nc, F), so checkpoints and the .pth importer are
+        unaffected. Caller (ResnetGenerator) routes here only on the bf16
+        perf path with pad_mode='reflect', stride 1, k == 2p+1."""
         k, p = self.kernel_size, self.padding
+        in_ch = x.shape[-1] + (0 if cond is None else cond.shape[-1])
         kernel = self.param(
-            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            "kernel", self.kernel_init, (k, k, in_ch, self.features),
             jnp.float32)
         # no preferred_element_type: an f32 output from bf16 inputs breaks the
         # conv VJP (mixed-dtype cotangent). MXU accumulation is f32-internal
         # for bf16 inputs regardless; f32 modules force HIGHEST precision.
         prec = _conv_precision(self.dtype)
         xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+        cond_bias = None
+        if cond is not None:
+            if not (self.pad_mode == "reflect" and self.stride == 1
+                    and k == 2 * p + 1 and p > 0):
+                raise ValueError(
+                    "separated-cond TorchConv requires a full stride-1 "
+                    "reflect conv (constant channels must stay constant "
+                    "through the padding)")
+            xc = x.shape[-1]
+            w_cond = jnp.sum(kd[:, :, xc:, :], axis=(0, 1))       # (nc, F)
+            cond_bias = (cond.astype(self.dtype) @ w_cond)[:, None, None, :]
+            kd = kd[:, :, :xc, :]
         lowch_r = 0
         if (self.lowch_matmul and self.pad_mode == "reflect"
                 and self.dtype == jnp.bfloat16 and self.stride == 1
@@ -162,6 +191,8 @@ class TorchConv(nn.Module):
                 pad2d(xd, p, self.pad_mode), kd,
                 window_strides=(self.stride, self.stride),
                 padding="VALID", dimension_numbers=_DIMS, precision=prec)
+        if cond_bias is not None:
+            y = y + cond_bias
         if self.use_bias:
             bias = self.param("bias", jax.nn.initializers.zeros,
                               (self.features,), jnp.float32)

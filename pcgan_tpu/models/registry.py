@@ -36,6 +36,24 @@ def _common(cfg: Config):
 def define_G(cfg: Config) -> nn.Module:
     name = cfg.model.netG
     base, _, variant = name.partition("@")     # e.g. resnet_9blocks@resize_conv
+    if (base.startswith("resnet") and cfg.model.norm == "instance"
+            and cfg.model.cond_inject == "input"):
+        # Measured (round 3, f32): max output delta between two different
+        # conditions is ~3e-6 — float noise. The injected condition is a
+        # spatially-CONSTANT map; the stem conv of a constant (through full
+        # stride-1 reflect padding) is constant, and the InstanceNorm that
+        # follows subtracts exactly that per-sample constant before any
+        # nonlinearity. The pix2pix-template resnet G the reference derives
+        # from has the same property (conv -> IN -> ReLU ordering); the
+        # unet (activation before the next norm + raw skip concats) and
+        # bottleneck injection (residual skips bypass the norms) do not.
+        import warnings
+        warnings.warn(
+            "resnet generator + instance norm + cond_inject='input': the "
+            "condition is mathematically cancelled by the stem's instance "
+            "norm — G trains (reference-faithfully) UNCONDITIONAL. Use "
+            "--cond_inject bottleneck (or --netG unet_*) for an effective "
+            "conditional resnet G.", RuntimeWarning, stacklevel=2)
     kw = _common(cfg)
     kw.update(output_nc=cfg.data.output_nc, ngf=cfg.model.ngf,
               use_dropout=not cfg.model.no_dropout,

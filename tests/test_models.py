@@ -245,3 +245,85 @@ def test_print_networks_summary(capsys, rng):
     print_networks({"G": v["params"]}, verbose=True)
     out = capsys.readouterr().out
     assert "kernel" in out and "float32" in out
+
+
+def test_stem_cond_decomposition_matches_concat():
+    """bf16 stem path (r3): conv([x ; bcast(cond)]) must equal
+    conv(x) + cond@sum_taps(W_cond) — a constant channel through a full
+    stride-1 reflect conv is a per-sample bias. Tested in f32 where the
+    identity is exact up to summation order."""
+    import numpy as np
+    from pcgan_tpu.models.generator import broadcast_cond
+    from pcgan_tpu.models.layers import TorchConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 10))
+    conv = TorchConv(8, 7, 1, 3, pad_mode="reflect", use_bias=True)
+    xc = jnp.concatenate([x, broadcast_cond(cond, 16, 16)], -1)
+    v = conv.init(rng, xc)
+    y_concat = conv.apply(v, xc)
+    y_split = conv.apply(v, x, cond)
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_concat),
+                               rtol=1e-4, atol=1e-5)
+    # gradients of the FULL kernel (incl. the cond slice) must match too
+    def loss(fn_args):
+        def f(vv):
+            return jnp.sum(conv.apply(vv, *fn_args) ** 2)
+        return jax.grad(f)(v)
+    g_concat = jax.tree.leaves(loss((xc,)))
+    g_split = jax.tree.leaves(loss((x, cond)))
+    for a, b in zip(g_split, g_concat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_generator_stem_split_matches_concat_form(rng):
+    """Through the real G wiring: lowch_matmul bf16 (stem split) vs the
+    concat lowering on the SAME params stays within bf16 noise."""
+    import numpy as np
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+
+    def build(lowch):
+        cfg = Config(
+            data=DataConfig(batch_size=2, crop_size=32, load_size=32,
+                            n_age_bins=4),
+            model=ModelConfig(netG="resnet_6blocks", ngf=8, norm="none",
+                              dtype="bfloat16", lowch_matmul=lowch))
+        return define_G(cfg)
+
+    x = jax.random.normal(rng, (2, 32, 32, 3), jnp.bfloat16)
+    cond = jnp.eye(4, dtype=jnp.bfloat16)[:2]
+    g_split, g_concat = build(True), build(False)
+    v = init_params(g_concat, jax.random.PRNGKey(1), x, cond, train=False)
+    y0 = np.asarray(g_concat.apply(v, x, cond, train=False), np.float32)
+    y1 = np.asarray(g_split.apply(v, x, cond, train=False), np.float32)
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=3e-2)
+
+
+def test_instance_norm_cancels_input_injection_resnet(rng):
+    """Round-3 finding, pinned: resnet + instance norm + input injection is
+    numerically UNCONDITIONAL (the constant cond map is a per-sample bias
+    the stem's IN removes exactly); bottleneck injection stays alive. Also
+    asserts define_G warns for the dead combination."""
+    import warnings as _w
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    c0 = jnp.eye(10)[:1]
+    c1 = jnp.roll(c0, 5, -1)
+
+    def sensitivity(inject, norm):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            cfg = _cfg(netG="resnet_6blocks", ngf=16, norm=norm,
+                       cond_inject=inject)
+            G = define_G(cfg)
+        v = init_params(G, rng, x, c0)
+        y0 = G.apply(v, x, c0, train=False)
+        y1 = G.apply(v, x, c1, train=False)
+        return float(jnp.max(jnp.abs(y0 - y1)))
+
+    assert sensitivity("input", "instance") < 1e-4      # dead (float noise)
+    assert sensitivity("bottleneck", "instance") > 1e-3  # alive
+    with pytest.warns(RuntimeWarning, match="UNCONDITIONAL"):
+        define_G(_cfg(netG="resnet_6blocks", norm="instance",
+                      cond_inject="input"))
