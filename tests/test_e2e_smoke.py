@@ -311,3 +311,56 @@ def test_evaluate_cli_distributed(workdir):
             open(os.path.join(results_dir, "smoke", "eval.jsonl"))]
     assert recs and np.isfinite(recs[-1]["fid"])
     assert recs[-1]["fid_images"] == 16
+
+
+@pytest.mark.slow
+def test_kill9_mid_epoch_resume_exact(workdir):
+    """REAL preemption drill (SURVEY.md SS6 failure recovery): SIGKILL the
+    training process mid-epoch; --continue_train must pick up the mid-epoch
+    'latest' (saved every --save_latest_freq ITERS, r3) and replay the
+    remaining metric stream bit-identically to an uninterrupted run."""
+    import subprocess
+    import time as _time
+    import train as train_cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = COMMON + ["--print_freq", "1", "--niter", "3", "--niter_decay",
+                     "0", "--pool_size", "8", "--lambda_L1", "50.0",
+                     "--save_latest_freq", "5", "--save_epoch_freq", "50"]
+
+    def metrics(ckpt_dir):
+        out = {}
+        for l in open(os.path.join(ckpt_dir, "smoke", "metrics.jsonl")):
+            r = json.loads(l)
+            if "loss_G" in r:
+                out[r["step"]] = r       # resumed entries overwrite replays
+        return out
+
+    full_dir = str(workdir / "ckpt_kill_full")
+    train_cli.main(args + ["--checkpoints_dir", full_dir])
+
+    split_dir = str(workdir / "ckpt_kill_split")
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train.py")] + args
+        + ["--checkpoints_dir", split_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        bufsize=1, cwd=repo, env=dict(os.environ))
+    saw = False
+    for line in p.stdout:
+        if "iters: 7," in line:
+            saw = True
+            _time.sleep(1.5)     # let the async step-5 'latest' commit
+            p.kill()
+            break
+    p.wait(timeout=60)
+    assert saw, "subprocess never reached step 7"
+
+    train_cli.main(args + ["--checkpoints_dir", split_dir,
+                           "--continue_train"])
+    full, split = metrics(full_dir), metrics(split_dir)
+    assert max(split) == max(full) == 12
+    # the resumed run replays from the committed step-5 checkpoint: steps
+    # 6..12 must match the uninterrupted run exactly
+    for s in range(6, 13):
+        for k in ("loss_G", "loss_D", "loss_G_L1", "epoch"):
+            assert full[s][k] == split[s][k], (s, k)

@@ -81,7 +81,8 @@ def classify(name: str, args: dict) -> str:
     return "other"
 
 
-def mine_perfetto(trace_dir: str, top_k: int = 25):
+def mine_perfetto(trace_dir: str, top_k: int = 25,
+                  peak_tflops: float = 178.0, peak_gbps: float = 820.0):
     files = sorted(glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not files:
@@ -108,7 +109,8 @@ def mine_perfetto(trace_dir: str, top_k: int = 25):
     per_op = collections.Counter()           # by tf_op (semantic site)
     per_op_meta = {}
     per_class = collections.Counter()
-    total = 0.0
+    gaps = collections.Counter()             # time above each op's roofline
+    total = floor_total = 0.0
     step_durs = [float(e["dur"]) for e in events
                  if e.get("ph") == "X" and "dur" in e
                  and tid_names.get((e["pid"], e.get("tid"))) == "Steps"]
@@ -124,8 +126,14 @@ def mine_perfetto(trace_dir: str, top_k: int = 25):
         m = per_op_meta.setdefault(key, {"flops": 0.0, "bytes": 0.0,
                                          "category": classify(
                                              e.get("name", "?"), args)})
-        m["flops"] += float(args.get("model_flops", 0) or 0)
-        m["bytes"] += float(args.get("bytes_accessed", 0) or 0)
+        fl = float(args.get("model_flops", 0) or 0)
+        by = float(args.get("bytes_accessed", 0) or 0)
+        m["flops"] += fl
+        m["bytes"] += by
+        # per-op roofline floor: whichever of MXU FLOPs or HBM bytes binds
+        floor = max(fl / (peak_tflops * 1e12), by / (peak_gbps * 1e9)) * 1e6
+        floor_total += floor
+        gaps[key] += dur - floor
         per_class[classify(e.get("name", "?"), args)] += dur
         total += dur
     top = []
@@ -141,14 +149,27 @@ def mine_perfetto(trace_dir: str, top_k: int = 25):
             "gbytes_per_s": round(m["bytes"] / (v * 1e3), 0) if m["bytes"]
             else None,
         })
+    n_steps = max(len(step_durs), 1)
     return {
         "trace_file": files[-1],
         "total_device_us": total,
         "steps": len(step_durs),
-        "mean_step_ms": round(sum(step_durs) / max(len(step_durs), 1) / 1e3,
-                              3),
+        "mean_step_ms": round(sum(step_durs) / n_steps / 1e3, 3),
         "device_tracks": sorted({v for k, v in pid_names.items()
                                  if "host" not in v.lower()}),
+        # speed-of-light accounting: sum of per-op roofline floors
+        # (max(flops/peak_compute, bytes/peak_bw) per op). ratio_to_floor
+        # close to 1.0 = the program runs at this chip's own ceilings for
+        # the op set XLA chose; top_gaps names where the residual lives.
+        "roofline": {
+            "peak_tflops": peak_tflops, "peak_gbps": peak_gbps,
+            "floor_ms_per_step": round(floor_total / n_steps / 1e3, 2),
+            "device_ms_per_step": round(total / n_steps / 1e3, 2),
+            "ratio_to_floor": round(total / max(floor_total, 1e-9), 3),
+            "top_gaps_us_per_step": [
+                {"tf_op": k, "us": round(v / n_steps, 0)}
+                for k, v in gaps.most_common(10)],
+        },
         "by_class": {k: {"us": round(v, 1), "pct": round(100 * v / total, 2)}
                      for k, v in per_class.most_common()},
         "top_ops": top,

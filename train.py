@@ -266,6 +266,17 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                            epoch=epoch, imgs_per_sec=rate,
                            lr=float(sched(gstep)) * lr_scale)
                 timer.start()
+            if t.save_latest_freq > 0 and gstep % t.save_latest_freq == 0:
+                # reference semantics: 'latest' every save_latest_freq ITERS,
+                # mid-epoch included — with the exact-resume machinery a
+                # preemption now loses at most save_latest_freq steps (the
+                # resumed run replays the epoch's permutation and skips the
+                # consumed batches). Saves snapshot to host then write async,
+                # so the device pipeline only pays one sync here.
+                last_latest_save = gstep
+                ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
+                          "latest")
+                save_g(state, "latest")
         resume_skip = 0
         if plateau is not None and metrics is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -284,10 +295,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 plateau_best=jax.device_put(jnp.float32(plateau.best), repl),
                 plateau_bad=jax.device_put(jnp.float32(plateau.bad_epochs),
                                            repl))
-        # reference semantics: 'latest' every save_latest_freq ITERS.
-        # checked at epoch boundaries (one dispatch point), so fire whenever
-        # a freq boundary was crossed since the last save — a plain modulo
-        # here would require gstep to land exactly on a multiple
+        # belt for freq boundaries the in-loop modulo cannot hit exactly
+        # (steps_per_epoch changes across resumes)
         if gstep // t.save_latest_freq > last_latest_save // t.save_latest_freq:
             last_latest_save = gstep
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
