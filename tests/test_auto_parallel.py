@@ -98,3 +98,28 @@ def test_auto_step_with_ema():
     e1 = np.asarray(jax.device_get(jax.tree.leaves(s1.ema_params)[0]))
     p1 = np.asarray(jax.device_get(jax.tree.leaves(s1.g_params)[0]))
     np.testing.assert_allclose(e1, 0.1 * e0 + 0.9 * p1, rtol=1e-5, atol=1e-6)
+
+
+def test_auto_step_bf16_stem_split_runs():
+    """The r3 cond-bias stem decomposition (bf16 + lowch_matmul) under the
+    GSPMD data x spatial mesh: the per-sample cond bias broadcast must
+    partition cleanly alongside H-sharded conv activations."""
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16",
+                                       lowch_matmul=True))
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh((2, 4), ("data", "spatial"))
+    state = place_auto_state(create_train_state(cfg, G, D, rng, 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=True)
+    raw = {
+        "image": jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, (4, 40, 40, 3), dtype=np.uint8)),
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+    }
+    s2, m = step(state, shard_batch_auto(raw, mesh))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k

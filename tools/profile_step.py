@@ -159,8 +159,12 @@ def mine_perfetto(trace_dir: str, top_k: int = 25,
                                  if "host" not in v.lower()}),
         # speed-of-light accounting: sum of per-op roofline floors
         # (max(flops/peak_compute, bytes/peak_bw) per op). ratio_to_floor
-        # close to 1.0 = the program runs at this chip's own ceilings for
-        # the op set XLA chose; top_gaps names where the residual lives.
+        # close to (or below) 1.0 = the program runs at this chip's own
+        # ceilings for the op set XLA chose; top_gaps names where any
+        # residual lives. CAVEAT: bytes_accessed is LOGICAL traffic — a
+        # fusion's internal producers count even when they never touch
+        # HBM — so the floor is conservative and ratios <1.0 simply mean
+        # fusion saves more traffic than the metadata credits.
         "roofline": {
             "peak_tflops": peak_tflops, "peak_gbps": peak_gbps,
             "floor_ms_per_step": round(floor_total / n_steps / 1e3, 2),
