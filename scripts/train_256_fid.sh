@@ -11,6 +11,10 @@
 # switch to --fid_features comparator (with --comparator_path) or
 # --fid_features pth:<inception_v3.pth> for externally comparable numbers.
 set -e
+# NOTE (r3, measured): with the resnet G + instance norm, cond_inject=input
+# (the template default used here for reference parity) is cancelled by the
+# stem's instance norm -- add --cond_inject bottleneck for an effectively
+# conditional resnet G (define_G prints the same warning).
 python train.py \
   --dataroot "${DATAROOT:-./datasets/cacd}" \
   --name cacd256 --model pcgan \

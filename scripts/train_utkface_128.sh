@@ -1,6 +1,10 @@
 #!/usr/bin/env bash
 # BASELINE config 2: 128px face-aging cGAN on UTKFace, single TPU core, bf16.
 set -e
+# NOTE (r3, measured): with the resnet G + instance norm, cond_inject=input
+# (the template default used here for reference parity) is cancelled by the
+# stem's instance norm -- add --cond_inject bottleneck for an effectively
+# conditional resnet G (define_G prints the same warning).
 python train.py \
   --dataroot "${DATAROOT:-./datasets/utkface}" \
   --name utk128 --model pcgan \

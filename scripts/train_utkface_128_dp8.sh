@@ -2,6 +2,10 @@
 # BASELINE config 3: 128px data-parallel on v5e-8 (shard_map psum over ICI),
 # device input pipeline at full rate.
 set -e
+# NOTE (r3, measured): with the resnet G + instance norm, cond_inject=input
+# (the template default used here for reference parity) is cancelled by the
+# stem's instance norm -- add --cond_inject bottleneck for an effectively
+# conditional resnet G (define_G prints the same warning).
 python train.py \
   --dataroot "${DATAROOT:-./datasets/utkface}" \
   --name utk128_dp8 --model pcgan \
