@@ -60,7 +60,8 @@ def main(argv=None):
     ds = data_loader.create_dataset(cfg, train=False)
     ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=False,
                             drop_last=True,
-                            num_threads=cfg.data.num_threads)
+                            num_threads=cfg.data.num_threads,
+                            resize_to=data_loader.host_resize_size(cfg))
     rec = run(g_vars,
               with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age),
               max_images=cfg.run.num_test, seed=cfg.train.seed)

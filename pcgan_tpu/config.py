@@ -43,6 +43,14 @@ class DataConfig:
     # core-starved hosts; the device pipeline then resizes from the smaller
     # canvas. Requires load_size <= ceil(native*M/8).
     host_decode_m: int = 8
+    # PIL-resize to load_size on the HOST before transfer (the reference's
+    # own CPU transform) instead of on device — ~2x fewer host->device
+    # bytes; wins when the link is the bottleneck (measured on the tunneled
+    # PJRT: 411 -> 464 imgs/s e2e @128px). Off by default: the device
+    # resize is the TPU-native path and direct-attached hosts are never
+    # transfer-bound. Parity-faithful either way (device matrices reproduce
+    # PIL; host path IS PIL).
+    host_resize: bool = False
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
     labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
     comparisons_csv: str = ""        # for dataset_mode=comparisons (pathA,pathB,label)
@@ -213,6 +221,7 @@ _FLAG_MAP = {
     "serial_batches": ("data", "serial_batches"),
     "num_threads": ("data", "num_threads"),
     "host_decode_m": ("data", "host_decode_m"),
+    "host_resize": ("data", "host_resize"),
     "max_dataset_size": ("data", "max_dataset_size"),
     "labels_csv": ("data", "labels_csv"),
     "comparisons_csv": ("data", "comparisons_csv"),
@@ -303,6 +312,10 @@ _FLAG_HELP = {
     "host_decode_m": "libjpeg DCT-domain decode scale M/8 (8 = full-scale "
                      "bit-parity with PIL). M<8 is a NON-parity fast path "
                      "for core-starved hosts",
+    "host_resize": "PIL-resize to load_size on the host before transfer "
+                   "(the reference's own CPU transform; parity-faithful) — "
+                   "~2x fewer host->device bytes for transfer-bound links. "
+                   "Default off: resize runs on device (TPU-native)",
     "ema_decay": "keep an EMA twin of G saved as {tag}_G_ema (quality "
                  "lever beyond the reference; 0 = off = reference parity). "
                  "Must match the saved run when resuming",

@@ -77,6 +77,14 @@ def _exists(path):
     return os.path.isdir(path)
 
 
+def host_resize_size(cfg: Config) -> int:
+    """Loader ``resize_to`` for --host_resize: load_size when the preprocess
+    mode includes a resize, else 0 (off). Centralized so every Loader
+    construction site (train/test/evaluate/bench) agrees."""
+    d = cfg.data
+    return d.load_size if (d.host_resize and "resize" in d.preprocess) else 0
+
+
 class Loader:
     """Iterable over stacked numpy batches, threaded decode, optional shuffle.
 
@@ -91,7 +99,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_threads: int = 4, seed: int = 0, drop_last: bool = True,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 resize_to: int = 0, resize_method: str = "bicubic"):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -102,6 +111,14 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.pool = ThreadPoolExecutor(max_workers=self.num_threads)
         self.epoch = 0
+        # --host_resize: PIL-resize image keys to `resize_to` px on the host
+        # before transfer (the reference's OWN host-side transform — PIL
+        # resize to load_size), shrinking host->device bytes ~2x at 128px.
+        # 0 = off (default): raw native canvases transfer and the resize
+        # runs on device (ops/preprocess.py). Parity either way; see
+        # docs/perf_notes.md round-3 e2e attribution for when each wins.
+        self.resize_to = int(resize_to)
+        self.resize_method = resize_method
 
     def __len__(self):
         n = len(self.ds) // self.num_shards
@@ -128,13 +145,30 @@ class Loader:
             if gb is not None:
                 batch = gb(idx, num_threads=self.num_threads)
                 if batch is not None:
-                    yield batch
+                    yield self._host_resize(batch)
                     continue
             items = list(self.pool.map(self.ds.get_raw, idx))
             batch = {}
             for k in items[0]:
                 batch[k] = np.stack([it[k] for it in items])
-            yield batch
+            yield self._host_resize(batch)
+
+    def _host_resize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.resize_to <= 0:
+            return batch
+        from PIL import Image
+        filt = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                "nearest": Image.NEAREST}[self.resize_method]
+        size = (self.resize_to, self.resize_to)
+
+        def one(a):
+            return np.asarray(Image.fromarray(a).resize(size, filt))
+
+        out = dict(batch)
+        for k, v in batch.items():
+            if v.ndim == 4 and v.dtype == np.uint8 and v.shape[1] != self.resize_to:
+                out[k] = np.stack(list(self.pool.map(one, v)))
+        return out
 
 
 def with_bins(it: Iterator[Dict], n_bins: int, max_age: int = 116):

@@ -67,7 +67,12 @@ def put_global_batch(batch, mesh: Mesh) -> dict:
     if jax.process_count() > 1:
         return {k: jax.make_array_from_process_local_data(shardings[k], v)
                 for k, v in batch.items()}
-    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    # ONE device_put call for the whole tree: per-leaf calls pay a per-call
+    # dispatch round-trip each (measured 394 vs 230 ms/batch sync on the
+    # HTTP-tunneled PJRT, docs/perf_notes.md round-3 e2e attribution); on
+    # direct-attached hardware the difference is noise, so the fused form
+    # is strictly better.
+    return jax.device_put(batch, shardings)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -59,7 +59,8 @@ def main(argv=None):
     ds = data_loader.create_dataset(cfg, train=False)
     bs = min(cfg.data.batch_size, cfg.run.num_test)
     ld = data_loader.Loader(ds, bs, shuffle=False, drop_last=False,
-                            num_threads=cfg.data.num_threads)
+                            num_threads=cfg.data.num_threads,
+                            resize_to=data_loader.host_resize_size(cfg))
     pre = make_preprocess(cfg, train=False)   # center crop, no flip
     sampler = make_sampler(cfg, G)
 

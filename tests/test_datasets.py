@@ -175,3 +175,61 @@ def test_load_size_guard_only_rejects_dct_shrunk_canvas(tmp_path):
         create_dataset(cfg(143, 4))   # 100px canvas < 143 needed: reject
     with pytest.raises(ValueError):
         create_dataset(cfg(286, 4))   # shrunk below native too: reject
+
+
+def test_loader_host_resize_matches_pil():
+    """--host_resize: the loader's host-side resize IS PIL resize of the raw
+    canvas (the reference's own CPU transform), applied to every u8 image
+    key, with non-image keys untouched."""
+    from PIL import Image
+
+    ds = SyntheticAgingDataset(size=8, seed=1)
+    plain = next(iter(Loader(ds, 4, shuffle=False, num_threads=2)))
+    resized = next(iter(Loader(ds, 4, shuffle=False, num_threads=2,
+                               resize_to=143)))
+    assert resized["image"].shape == (4, 143, 143, 3)
+    assert resized["image"].dtype == np.uint8
+    np.testing.assert_array_equal(resized["age"], plain["age"])
+    for i in range(4):
+        ref = np.asarray(Image.fromarray(plain["image"][i])
+                         .resize((143, 143), Image.BICUBIC))
+        np.testing.assert_array_equal(resized["image"][i], ref)
+
+
+def test_loader_host_resize_pipeline_equivalence():
+    """Device-preprocess output from a host-resized batch matches the
+    all-on-device path within u8 quantization (the only difference: the
+    host path rounds to u8 at load_size exactly as the reference's PIL
+    chain does; the device path stays float)."""
+    import jax
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.ops.preprocess import make_preprocess
+
+    cfg = Config(data=DataConfig(batch_size=4, load_size=143, crop_size=128,
+                                 pallas_pipeline=False),
+                 model=ModelConfig(dtype="float32"))
+    pre = make_preprocess(cfg, train=False)     # center crop: deterministic
+    ds = SyntheticAgingDataset(size=8, seed=2)
+    plain = next(iter(Loader(ds, 4, shuffle=False, num_threads=2)))
+    resized = next(iter(Loader(ds, 4, shuffle=False, num_threads=2,
+                               resize_to=143)))
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(pre(key, plain)["image"])
+    b = np.asarray(pre(key, resized)["image"])
+    assert b.shape == a.shape == (4, 128, 128, 3)
+    # 1 u8 LSB on [-1, 1] is 2/255; allow quantization + PIL rounding
+    assert np.max(np.abs(a - b)) <= 2.5 / 127.5
+
+
+def test_host_resize_flag_parses():
+    from pcgan_tpu.config import parse_config
+    from pcgan_tpu.data.loader import host_resize_size
+
+    cfg = parse_config(["--host_resize", "--load_size", "143"])
+    assert cfg.data.host_resize
+    assert host_resize_size(cfg) == 143
+    off = parse_config([])
+    assert host_resize_size(off) == 0
+    # only active when the preprocess mode resizes
+    crop_only = parse_config(["--host_resize", "--preprocess", "crop"])
+    assert host_resize_size(crop_only) == 0

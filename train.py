@@ -66,7 +66,8 @@ def main(argv=None):
                                 num_threads=cfg.data.num_threads,
                                 seed=cfg.train.seed,
                                 shard_id=jax.process_index(),
-                                num_shards=n_proc)
+                                num_shards=n_proc,
+                                resize_to=data_loader.host_resize_size(cfg))
         steps_per_epoch = max(1, len(ld))
         print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
               f"{steps_per_epoch} steps/epoch", flush=True)
@@ -212,7 +213,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # (batch divisibility is already enforced at startup)
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle, mesh=mesh)
         eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
-                         num_threads=cfg.data.num_threads)
+                         num_threads=cfg.data.num_threads,
+                         resize_to=data_loader.host_resize_size(cfg))
 
         def fid_eval(state, epoch):
             g_vars = {"params": state.g_params, **state.g_state}
@@ -429,7 +431,8 @@ def _train_comparator(cfg, mesh, logger, run_dir):
 
     ld = data_loader.Loader(train_ds, cfg.data.batch_size, shuffle=True,
                             num_threads=cfg.data.num_threads,
-                            seed=cfg.train.seed)
+                            seed=cfg.train.seed,
+                            resize_to=data_loader.host_resize_size(cfg))
     steps_per_epoch = max(1, len(ld))
     print(f"comparator pairs: {len(train_ds)} train / {n_eval} held out, "
           f"{steps_per_epoch} steps/epoch", flush=True)
@@ -469,7 +472,8 @@ def _train_comparator(cfg, mesh, logger, run_dir):
 
         eval_ld = data_loader.Loader(
             eval_ds, min(cfg.data.batch_size, len(eval_ds)), shuffle=False,
-            num_threads=cfg.data.num_threads)
+            num_threads=cfg.data.num_threads,
+            resize_to=data_loader.host_resize_size(cfg))
 
         def eval_acc(state):
             accs = [float(jax.device_get(_eval_batch(
@@ -513,7 +517,8 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     imgs, bins = [], []
     base_it = iter(data_loader.Loader(
         base, min(cfg.data.batch_size, n_anchor), shuffle=False,
-        drop_last=False, num_threads=cfg.data.num_threads))
+        drop_last=False, num_threads=cfg.data.num_threads,
+        resize_to=data_loader.host_resize_size(cfg)))
     if not label_free:
         base_it = with_bins(base_it, cfg.data.n_age_bins, cfg.data.max_age)
     seen = 0
