@@ -296,8 +296,9 @@ def main():
         try:
             e2e = measure_e2e(cfg, steps=max(10, steps // 2))
             line["e2e_imgs_s"] = round(e2e, 2)
-            line["e2e_note"] = ("parity input path; transfer-bound on this "
-                                "host, see docs/perf_notes.md")
+            line["e2e_note"] = ("parity input path; bound by this host's "
+                                "transfer link, whose bandwidth swings >2x "
+                                "between runs — docs/perf_notes.md r3")
         except Exception as e:   # never fail the headline over the rider
             line["e2e_imgs_s"] = None
             line["e2e_note"] = f"unavailable: {e}"
