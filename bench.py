@@ -296,7 +296,16 @@ def main():
         try:
             e2e = measure_e2e(cfg, steps=max(10, steps // 2))
             line["e2e_imgs_s"] = round(e2e, 2)
-            line["e2e_note"] = ("parity input path; bound by this host's "
+            # name the input path the rider actually measured: flags can
+            # put it on documented non-default/non-parity fast paths
+            flags = []
+            if args.host_decode_m < 8:
+                flags.append(f"host_decode_m={args.host_decode_m} "
+                             f"(NON-parity DCT fast decode)")
+            if args.host_resize:
+                flags.append("host_resize (parity math, non-default route)")
+            path_note = ("; ".join(flags) if flags else "parity input path")
+            line["e2e_note"] = (path_note + "; bound by this host's "
                                 "transfer link, whose bandwidth swings >2x "
                                 "between runs — docs/perf_notes.md r3")
         except Exception as e:   # never fail the headline over the rider

@@ -48,27 +48,46 @@ class ResBlock(nn.Module):
 
 
 class ResnetG(nn.Module):
-    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, batchnorm=False):
+    """Mirror of the flax ResnetGenerator. ``cond_inject='input'`` (default,
+    template-faithful): caller concats the condition map to x and the whole
+    net is one Sequential — state_dict layout unchanged from round 1.
+    ``cond_inject='bottleneck'`` (the repo's recommended effective-resnet
+    conditioning): stem takes bare x; after the downsampling convs a 1x1
+    projection consumes [features; cond map] — registration order matches
+    pth_import.resnet_generator_order(cond_inject='bottleneck')."""
+
+    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, batchnorm=False,
+                 cond_nc=0, cond_inject="input"):
         super().__init__()
         norm = nn.BatchNorm2d if batchnorm else nn.InstanceNorm2d
         bias = not batchnorm          # template: no conv bias under affine BN
-        layers = [nn.ReflectionPad2d(3), nn.Conv2d(in_nc, ngf, 7, bias=bias),
-                  norm(ngf), nn.ReLU(True),
-                  nn.Conv2d(ngf, ngf * 2, 3, 2, 1, bias=bias), norm(ngf * 2),
-                  nn.ReLU(True),
-                  nn.Conv2d(ngf * 2, ngf * 4, 3, 2, 1, bias=bias),
-                  norm(ngf * 4), nn.ReLU(True)]
-        layers += [ResBlock(ngf * 4, norm, bias) for _ in range(n_blocks)]
-        layers += [nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, 1, bias=bias),
-                   norm(ngf * 2), nn.ReLU(True),
-                   nn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, 1, bias=bias),
-                   norm(ngf), nn.ReLU(True),
-                   nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7),
-                   nn.Tanh()]
-        self.net = nn.Sequential(*layers)
+        head = [nn.ReflectionPad2d(3), nn.Conv2d(in_nc, ngf, 7, bias=bias),
+                norm(ngf), nn.ReLU(True),
+                nn.Conv2d(ngf, ngf * 2, 3, 2, 1, bias=bias), norm(ngf * 2),
+                nn.ReLU(True),
+                nn.Conv2d(ngf * 2, ngf * 4, 3, 2, 1, bias=bias),
+                norm(ngf * 4), nn.ReLU(True)]
+        tail = [ResBlock(ngf * 4, norm, bias) for _ in range(n_blocks)]
+        tail += [nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, 1, bias=bias),
+                 norm(ngf * 2), nn.ReLU(True),
+                 nn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, 1, bias=bias),
+                 norm(ngf), nn.ReLU(True),
+                 nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7),
+                 nn.Tanh()]
+        self.bottleneck_cond = cond_inject == "bottleneck"
+        if self.bottleneck_cond:
+            self.net = nn.Sequential(*head)
+            self.proj = nn.Conv2d(ngf * 4 + cond_nc, ngf * 4, 1, bias=bias)
+            self.tail = nn.Sequential(*tail)
+        else:
+            self.net = nn.Sequential(*(head + tail))
 
-    def forward(self, x):
-        return self.net(x)
+    def forward(self, x, cond=None):
+        if not self.bottleneck_cond:
+            return self.net(x)
+        h = self.net(x)
+        cmap = cond[:, :, None, None].expand(-1, -1, h.shape[2], h.shape[3])
+        return self.tail(self.proj(torch.cat([h, cmap], 1)))
 
 
 class UnetBlock(nn.Module):

@@ -58,9 +58,17 @@ def main(argv=None):
 
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
     ds = data_loader.create_dataset(cfg, train=False)
-    ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=False,
-                            drop_last=True,
+    # multi-process pods: each host loads a disjoint per-host slice that
+    # put_global_batch assembles into the global eval batch (same convention
+    # as training) — without this every host would feed DUPLICATE rows
+    n_proc = jax.process_count() if mesh is not None else 1
+    if cfg.data.batch_size % max(1, n_proc):
+        raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
+                         f"divisible by the process count ({n_proc})")
+    ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
+                            shuffle=False, drop_last=True,
                             num_threads=cfg.data.num_threads,
+                            shard_id=jax.process_index(), num_shards=n_proc,
                             resize_to=data_loader.host_resize_size(cfg))
     rec = run(g_vars,
               with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age),

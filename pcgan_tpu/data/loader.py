@@ -119,6 +119,11 @@ class Loader:
         # docs/perf_notes.md round-3 e2e attribution for when each wins.
         self.resize_to = int(resize_to)
         self.resize_method = resize_method
+        # exact mid-epoch resume: drop the first N batches of the NEXT
+        # iteration at the INDEX level (the epoch's permutation is seeded, so
+        # slicing it reproduces the uninterrupted order) — no decode work is
+        # spent on batches the restored step count already consumed
+        self.skip_next = 0
 
     def __len__(self):
         n = len(self.ds) // self.num_shards
@@ -135,7 +140,8 @@ class Loader:
         order = order[self.shard_id::self.num_shards]
         self.epoch += 1
         nb = len(self)
-        for b in range(nb):
+        start, self.skip_next = min(self.skip_next, nb), 0
+        for b in range(start, nb):
             idx = order[b * self.bs:(b + 1) * self.bs]
             if len(idx) < self.bs and self.drop_last:
                 break

@@ -98,9 +98,11 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         return _constrain_repl((r_stats, f_stats, hits, n))
 
     def _put_batch(v):
-        v = jnp.asarray(v)
         if mesh is None:
-            return v
+            return jnp.asarray(v)
+        # host array straight into its sharded placement — no staging
+        # round trip (the tunneled-PJRT link makes transfers the eval
+        # bottleneck; docs/perf_notes.md r3 attribution)
         from pcgan_tpu.parallel.mesh import put_global_batch
         return put_global_batch({"x": np.asarray(v)}, mesh)["x"]
 
@@ -115,13 +117,18 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             g_vars, r_stats, f_stats, hits, n = jax.device_put(
                 (g_vars, r_stats, f_stats, hits, n), rep)
         rng = np.random.default_rng(seed)
+        # multi-process: each host's loader yields its DISJOINT per-host
+        # slice and put_global_batch assembles the global batch, so the
+        # global rows consumed per step are local_rows * process_count —
+        # count those, keeping max_images a GLOBAL budget
+        n_proc = jax.process_count() if mesh is not None else 1
         seen = 0
         for raw in raw_iter:
             perm = rng.permutation(raw["image"].shape[0])
             r_stats, f_stats, hits, n = eval_batch(
                 g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
                 _put_batch(perm), r_stats, f_stats, hits, n)
-            seen += int(raw["image"].shape[0])
+            seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
         out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),

@@ -142,6 +142,24 @@ def test_loader_shuffle_and_drop_last():
     assert not np.array_equal(batches[0]["age"], b2[0]["age"])
 
 
+def test_loader_skip_next_matches_full_epoch_tail():
+    """Index-level resume skip: skipping N batches yields exactly the tail of
+    the same epoch's full iteration (same seeded permutation), with no decode
+    of the dropped batches."""
+    ds = SyntheticAgingDataset(size=16, seed=0)
+    full_ld = Loader(ds, 4, shuffle=True, seed=3, num_threads=1)
+    full = list(iter(full_ld))
+    skip_ld = Loader(ds, 4, shuffle=True, seed=3, num_threads=1)
+    skip_ld.skip_next = 2
+    tail = list(iter(skip_ld))
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a["age"], b["age"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+    # the skip is one-shot: the next epoch iterates in full
+    assert len(list(iter(skip_ld))) == len(full)
+
+
 def test_with_bins():
     ds = SyntheticAgingDataset(size=8, seed=0)
     ld = Loader(ds, 4, shuffle=False, num_threads=1)

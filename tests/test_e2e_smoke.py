@@ -38,6 +38,9 @@ def test_train_then_sample_then_resume(workdir):
         "--checkpoints_dir", ckpt_dir, "--niter", "2", "--niter_decay", "0",
         "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "8",
         "--lambda_L1", "50.0",
+        # 0 disables mid-epoch latest saves; regression: the epoch-boundary
+        # belt used to divide by this value unconditionally
+        "--save_latest_freq", "0",
     ])
     assert os.path.isdir(os.path.join(ckpt_dir, "smoke", "latest"))
     assert os.path.isdir(os.path.join(ckpt_dir, "smoke", "epoch_2"))

@@ -21,9 +21,11 @@ from pcgan_tpu.utils.pth_export import export_generator_pth  # noqa: E402
 from pcgan_tpu.utils.pth_import import import_generator_pth  # noqa: E402
 
 
-def _flax_G(nb=4, netG="resnet_6blocks", ngf=16, norm="instance", seed=7):
+def _flax_G(nb=4, netG="resnet_6blocks", ngf=16, norm="instance", seed=7,
+            cond_inject="input"):
     cfg = Config(data=DataConfig(n_age_bins=nb),
                  model=ModelConfig(netG=netG, ngf=ngf, norm=norm,
+                                   cond_inject=cond_inject,
                                    dtype="float32"))
     G = define_G(cfg)
     variables = init_params(G, jax.random.PRNGKey(seed),
@@ -55,6 +57,29 @@ def test_export_per_pixel_parity_resnet(np_rng):
                        jnp.asarray(cond), train=False)
     np.testing.assert_allclose(np.asarray(out_flax), _torch_out(tG, x, cond),
                                atol=1e-4)
+
+
+def test_export_per_pixel_parity_resnet_bottleneck(np_rng):
+    """The repo's recommended effective-resnet conditioning path exports via
+    the extended torch mirror (cond map concat + 1x1 projection at the
+    bottleneck)."""
+    nb = 4
+    G, variables = _flax_G(nb, cond_inject="bottleneck")
+    tG = ResnetG(3, 3, ngf=16, n_blocks=6, cond_nc=nb,
+                 cond_inject="bottleneck").eval()
+    sd = export_generator_pth(variables["params"], "resnet_6blocks",
+                              tG.state_dict(), cond_inject="bottleneck")
+    assert list(sd) == list(tG.state_dict())
+    tG.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+
+    x = (np_rng.random((2, 32, 32, 3)).astype(np.float32)) * 2 - 1
+    cond = np.eye(nb, dtype=np.float32)[[1, 3]]
+    out_flax = G.apply({"params": variables["params"]}, jnp.asarray(x),
+                       jnp.asarray(cond), train=False)
+    with torch.no_grad():
+        out_t = tG(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(cond)).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_flax), out_t, atol=1e-4)
 
 
 def test_export_import_roundtrip_identity():

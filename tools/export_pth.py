@@ -26,16 +26,25 @@ sys.path.insert(0, _ROOT)
 
 
 def build_mirror_state_dict(netG: str, in_nc: int, out_nc: int, ngf: int,
-                            norm: str):
-    """Template names from the in-repo torch mirror (pix2pix-family layout)."""
+                            norm: str, cond_inject: str = "input",
+                            cond_nc: int = 0):
+    """Template names from the in-repo torch mirror (pix2pix-family layout).
+    ``in_nc`` is the STEM's input channels (condition channels included only
+    under input injection); bottleneck injection adds the 1x1 projection."""
     sys.path.insert(0, os.path.join(_ROOT, "benchmarks"))
     from torch_baseline import ResnetG, build_unet
     base = netG.partition("@")[0]
     if base in ("resnet_9blocks", "resnet_6blocks"):
         n_blocks = 9 if base.endswith("9blocks") else 6
         return ResnetG(in_nc, out_nc, ngf=ngf, n_blocks=n_blocks,
-                       batchnorm=(norm == "batch")).state_dict()
+                       batchnorm=(norm == "batch"), cond_nc=cond_nc,
+                       cond_inject=cond_inject).state_dict()
     if base.startswith("unet_"):
+        if cond_inject != "input":
+            raise NotImplementedError(
+                "the in-repo unet mirror supports input injection only; "
+                "pass a matching checkpoint via --like for "
+                "cond_inject=bottleneck unet export")
         if norm == "batch":
             raise NotImplementedError(
                 "the in-repo unet mirror is instance-norm only; pass a "
@@ -105,9 +114,11 @@ def main(argv=None):
     if args.like:
         tmpl_sd = load_pth(args.like, allow_pickle=args.allow_pickle)
     else:
+        stem_nc = args.input_nc + (cfg.cond_nc
+                                   if args.cond_inject == "input" else 0)
         tmpl_sd = build_mirror_state_dict(
-            args.netG, args.input_nc + cfg.cond_nc, args.output_nc,
-            args.ngf, args.norm)
+            args.netG, stem_nc, args.output_nc, args.ngf, args.norm,
+            cond_inject=args.cond_inject, cond_nc=cfg.cond_nc)
     sd = export_generator_pth(g_vars, args.netG, tmpl_sd,
                               cond_inject=args.cond_inject)
 

@@ -47,8 +47,8 @@ def main(argv=None):
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
     n_data = mesh.shape.get("data", 1)
     if cfg.data.batch_size % n_data:
-        raise SystemExit(f"--batch_size {cfg.data.batch_size} must divide "
-                         f"the mesh data axis ({n_data})")
+        raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
+                         f"divisible by the mesh data axis ({n_data})")
 
     logger = MetricsLogger(run_dir)
     if cfg.model.model == "comparator":
@@ -59,8 +59,8 @@ def main(argv=None):
         ds = data_loader.create_dataset(cfg, train=True)
         n_proc = jax.process_count()
         if cfg.data.batch_size % max(1, n_proc):
-            raise SystemExit(f"--batch_size {cfg.data.batch_size} must "
-                             f"divide process count {n_proc}")
+            raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
+                             f"divisible by the process count ({n_proc})")
         ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
                                 shuffle=not cfg.data.serial_batches,
                                 num_threads=cfg.data.num_threads,
@@ -81,10 +81,9 @@ def _epoch_iter(cfg, ld, mesh, skip: int = 0):
     background thread so host IO overlaps device compute (SURVEY.md SS4.1:
     the decode path is the reference's throughput ceiling).
 
-    ``skip``: drop the first N batches BEFORE device transfer — exact
-    mid-epoch resume replays the epoch's (seeded) permutation and skips the
-    batches the restored step count already consumed."""
-    import itertools
+    ``skip``: drop the first N batches at the INDEX level (no decode work) —
+    exact mid-epoch resume replays the epoch's (seeded) permutation and skips
+    the batches the restored step count already consumed."""
     from pcgan_tpu.data.loader import device_prefetch, with_bins
     from pcgan_tpu.parallel.mesh import put_global_batch
 
@@ -92,10 +91,9 @@ def _epoch_iter(cfg, ld, mesh, skip: int = 0):
         for b in it:
             yield put_global_batch(b, mesh)
 
-    base = iter(ld)
-    if skip:
-        base = itertools.islice(base, skip, None)
-    it = shard_puts(with_bins(base, cfg.data.n_age_bins, cfg.data.max_age))
+    ld.skip_next = skip
+    it = shard_puts(with_bins(iter(ld), cfg.data.n_age_bins,
+                              cfg.data.max_age))
     return device_prefetch(it, size=cfg.data.prefetch)
 
 
@@ -149,6 +147,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                         if cfg.train.ema_decay > 0 else None))
         print(f"initialized G from [{cfg.train.init_g_from}]", flush=True)
     epochs_done = resume_skip = 0
+    resume_losses = []
     if cfg.train.continue_train and ckpt.exists(
             cfg.run.checkpoints_dir, cfg.run.name, cfg.run.epoch):
         state = ckpt.restore_state(state, cfg.run.checkpoints_dir,
@@ -166,6 +165,12 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
               f"{cfg.train.epoch_count + epochs_done}"
               + (f", skipping {resume_skip} consumed batches"
                  if resume_skip else "") + ")", flush=True)
+        if resume_skip:
+            # mid-epoch resume: re-seed the epoch's loss accumulator from the
+            # host sidecar the in-loop latest save wrote, so the plateau
+            # scheduler's epoch metric averages the SAME print points the
+            # uninterrupted run would have (exact-resume, SURVEY.md SS6)
+            resume_losses = _read_host_sidecar(run_dir, int(state.step))
     if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
         # data x spatial mesh: GSPMD-partitioned step (XLA inserts conv halo
         # exchanges; parallel/auto.py) — used when 256px activations need
@@ -210,10 +215,15 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                       if bin_anchors and len(bin_anchors) > 2 else None
                       ) if C else None
         # in-training FID shards across the training mesh's data axis
-        # (batch divisibility is already enforced at startup)
+        # (batch divisibility is already enforced at startup). Multi-process:
+        # each host loads a DISJOINT per-host slice (put_global_batch treats
+        # each host's batch as its local shard of the global array — same
+        # convention as the train loader), so eval rows are not duplicated.
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle, mesh=mesh)
-        eval_ld = Loader(ld.ds, cfg.data.batch_size, shuffle=False,
-                         num_threads=cfg.data.num_threads,
+        n_proc = jax.process_count()
+        eval_ld = Loader(ld.ds, cfg.data.batch_size // max(1, n_proc),
+                         shuffle=False, num_threads=cfg.data.num_threads,
+                         shard_id=jax.process_index(), num_shards=n_proc,
                          resize_to=data_loader.host_resize_size(cfg))
 
         def fid_eval(state, epoch):
@@ -246,7 +256,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     gstep = int(state.step)
     for epoch in range(t.epoch_count + epochs_done, total_epochs + 1):
         epoch_t0 = time.time()
-        epoch_losses = []
+        epoch_losses, resume_losses = resume_losses, []
         metrics = None
         timer.start()
         for raw in _epoch_iter(cfg, ld, mesh, skip=resume_skip):
@@ -279,6 +289,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                           "latest")
                 save_g(state, "latest")
+                _write_host_sidecar(run_dir, gstep, epoch_losses)
         resume_skip = 0
         if plateau is not None and metrics is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -299,7 +310,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                                            repl))
         # belt for freq boundaries the in-loop modulo cannot hit exactly
         # (steps_per_epoch changes across resumes)
-        if gstep // t.save_latest_freq > last_latest_save // t.save_latest_freq:
+        if t.save_latest_freq > 0 and (
+                gstep // t.save_latest_freq
+                > last_latest_save // t.save_latest_freq):
             last_latest_save = gstep
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       "latest")
@@ -324,6 +337,36 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
               f"({time.time() - epoch_t0:.1f}s)", flush=True)
     ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "latest")
     save_g(state, "latest", wait=True)
+
+
+def _write_host_sidecar(run_dir, step, epoch_losses):
+    """Host-only state that rides NEXT TO the mid-epoch 'latest' checkpoint:
+    the current epoch's print-point loss list, which the plateau scheduler
+    averages at epoch end. Device state lives in the orbax checkpoint; this
+    covers the one host accumulator a mid-epoch resume would otherwise
+    truncate (the metric would average post-resume points only)."""
+    import json
+    path = os.path.join(run_dir, "latest_host.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"step": int(step),
+                   "epoch_losses": [float(x) for x in epoch_losses]}, f)
+    os.replace(tmp, path)   # atomic: a killed write never corrupts the file
+
+
+def _read_host_sidecar(run_dir, step):
+    """Epoch-loss list saved at exactly ``step``, else [] (stale/missing
+    sidecars are ignored — the resumed epoch metric just starts fresh)."""
+    import json
+    path = os.path.join(run_dir, "latest_host.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if int(rec.get("step", -1)) == int(step):
+            return [float(x) for x in rec.get("epoch_losses", [])]
+    except (OSError, ValueError):
+        pass
+    return []
 
 
 def _profile_tick(p, run_dir):
@@ -472,6 +515,7 @@ def _train_comparator(cfg, mesh, logger, run_dir):
 
         eval_ld = data_loader.Loader(
             eval_ds, min(cfg.data.batch_size, len(eval_ds)), shuffle=False,
+            drop_last=False,   # score EVERY held-out pair, not batch-multiples
             num_threads=cfg.data.num_threads,
             resize_to=data_loader.host_resize_size(cfg))
 
@@ -484,13 +528,10 @@ def _train_comparator(cfg, mesh, logger, run_dir):
 
     total_epochs = cfg.train.niter + cfg.train.niter_decay
     gstep = int(state.step)
-    import itertools
     for epoch in range(cfg.train.epoch_count + epochs_done, total_epochs + 1):
-        it = iter(ld)
-        if resume_skip:
-            it = itertools.islice(it, resume_skip, None)
-            resume_skip = 0
-        for raw in _shard_iter(it, mesh):
+        # index-level skip: exact resume without decoding discarded batches
+        ld.skip_next, resume_skip = resume_skip, 0
+        for raw in _shard_iter(iter(ld), mesh):
             state, metrics = step_fn(state, raw)
             gstep += 1
             if gstep % cfg.train.print_freq == 0:
