@@ -29,16 +29,46 @@ def test_generator_shapes(netG, size, rng):
     assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
 
 
-def test_generator_cond_changes_output(rng):
-    cfg = _cfg(netG="resnet_6blocks")
-    G = define_G(cfg)
-    x = jax.random.normal(rng, (1, 64, 64, 3))
-    c0 = jnp.eye(cfg.data.n_age_bins)[:1]
+@pytest.mark.parametrize("netG,norm,inject,alive", [
+    # resnet + IN + input is the ONE mathematically-dead combo (r3 finding:
+    # the stem's instance norm subtracts the constant cond map exactly);
+    # every other flag combination must carry the condition through.
+    ("resnet_6blocks", "instance", "input", False),
+    ("resnet_6blocks", "instance", "bottleneck", True),
+    ("resnet_6blocks", "batch", "input", True),    # eval-mode BN: running
+    ("resnet_6blocks", "batch", "bottleneck", True),  # stats, no cancellation
+    ("resnet_6blocks", "none", "input", True),
+    ("unet_128", "instance", "input", True),   # LeakyReLU-before-norm + raw
+    ("unet_128", "instance", "bottleneck", True),          # skips preserve it
+    ("unet_128", "batch", "input", True),
+])
+def test_cond_sensitivity_matrix(netG, norm, inject, alive, rng):
+    """Systematic netG x norm x cond_inject conditioning matrix: asserts for
+    EVERY supported flag combination whether the condition actually reaches
+    the output (SURVEY.md SS2 C6; r3 IN-cancellation finding). Guards against
+    any future layer-ordering change silently killing (or resurrecting)
+    conditioning on some path."""
+    import warnings as _w
+    size = 128 if netG.startswith("unet") else 32
+    # the 0.02-std template init attenuates signals geometrically with depth;
+    # at ngf=8 the resnet's ALIVE combos measure ~2e-5 (vs ~2e-6 noise floor)
+    # — too close to threshold. ngf=16 separates them cleanly (2e-4 vs 3e-6).
+    # the unet's skip connections carry an O(1e-1) signal even at ngf=8.
+    ngf = 8 if netG.startswith("unet") else 16
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        cfg = _cfg(netG=netG, norm=norm, cond_inject=inject, ngf=ngf)
+        G = define_G(cfg)
+    x = jax.random.normal(rng, (1, size, size, 3))
+    c0 = jnp.eye(10)[:1]
     c1 = jnp.roll(c0, 5, axis=-1)
     variables = init_params(G, rng, x, c0)
     y0 = G.apply(variables, x, c0, train=False)
     y1 = G.apply(variables, x, c1, train=False)
-    assert float(jnp.max(jnp.abs(y0 - y1))) > 1e-6
+    sens = float(jnp.max(jnp.abs(y0 - y1)))
+    assert (sens > 1e-4) == alive, (
+        f"{netG}/{norm}/{inject}: sensitivity {sens:.3g}, expected "
+        f"{'alive' if alive else 'dead (IN cancellation)'}")
 
 
 def test_generator_bottleneck_injection(rng):
