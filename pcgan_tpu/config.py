@@ -116,6 +116,8 @@ class TrainConfig:
     # cadence
     print_freq: int = 100
     display_freq: int = 400
+    # 'latest' checkpoint every N iters, mid-epoch included (reference
+    # semantics); 0 disables mid-epoch saves (epoch boundaries still save)
     save_latest_freq: int = 5000
     save_epoch_freq: int = 5
     # retention: keep only the newest N epoch_<k> checkpoints (0 = keep all,

@@ -367,3 +367,22 @@ def test_kill9_mid_epoch_resume_exact(workdir):
     for s in range(6, 13):
         for k in ("loss_G", "loss_D", "loss_G_L1", "epoch"):
             assert full[s][k] == split[s][k], (s, k)
+
+
+def test_host_sidecar_roundtrip_and_stale_rejection(tmp_path):
+    """Unit coverage for the mid-epoch host sidecar (train._write/_read): the
+    loss accumulator survives only when the sidecar's step matches the
+    restored step; stale, missing, or corrupt sidecars degrade to []."""
+    import train as train_cli
+
+    d = str(tmp_path)
+    train_cli._write_host_sidecar(d, 42, [1.5, 2.5])
+    assert train_cli._read_host_sidecar(d, 42) == [1.5, 2.5]
+    # stale: written at a different step than the checkpoint being restored
+    assert train_cli._read_host_sidecar(d, 43) == []
+    # missing
+    assert train_cli._read_host_sidecar(str(tmp_path / "nope"), 42) == []
+    # corrupt file is ignored, not fatal
+    with open(os.path.join(d, "latest_host.json"), "w") as f:
+        f.write("{not json")
+    assert train_cli._read_host_sidecar(d, 42) == []
