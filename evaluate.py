@@ -49,7 +49,14 @@ def main(argv=None):
     from pcgan_tpu.parallel import make_mesh
     mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
     n_data = mesh.shape.get("data", 1)
+    n_proc = jax.process_count()
     if n_data > 1 and cfg.data.batch_size % n_data:
+        if n_proc > 1:
+            # no single-device fallback on pods: every host would run its
+            # own FULL eval (duplicate rows, duplicate eval.jsonl records)
+            raise SystemExit(
+                f"--batch_size {cfg.data.batch_size} must be divisible by "
+                f"the mesh data axis ({n_data}) for multi-process eval")
         print(f"eval: --batch_size {cfg.data.batch_size} does not divide the "
               f"mesh data axis ({n_data}); using one device", flush=True)
         mesh = None
@@ -61,15 +68,7 @@ def main(argv=None):
     # multi-process pods: each host loads a disjoint per-host slice that
     # put_global_batch assembles into the global eval batch (same convention
     # as training) — without this every host would feed DUPLICATE rows
-    n_proc = jax.process_count() if mesh is not None else 1
-    if cfg.data.batch_size % max(1, n_proc):
-        raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
-                         f"divisible by the process count ({n_proc})")
-    ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
-                            shuffle=False, drop_last=True,
-                            num_threads=cfg.data.num_threads,
-                            shard_id=jax.process_index(), num_shards=n_proc,
-                            resize_to=data_loader.host_resize_size(cfg))
+    ld = data_loader.make_process_loader(cfg, ds, shuffle=False)
     rec = run(g_vars,
               with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age),
               max_images=cfg.run.num_test, seed=cfg.train.seed)

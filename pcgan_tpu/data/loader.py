@@ -85,6 +85,26 @@ def host_resize_size(cfg: Config) -> int:
     return d.load_size if (d.host_resize and "resize" in d.preprocess) else 0
 
 
+def make_process_loader(cfg: Config, ds, *, shuffle: bool,
+                        drop_last: bool = True, seed: int = 0) -> "Loader":
+    """The ONE way to build a Loader that is correct on multi-process pods
+    (SURVEY.md SS3.2 per-host data sharding): each host gets a disjoint
+    shard of every epoch at batch_size // process_count rows, which
+    put_global_batch assembles into the global batch. Single-process runs
+    reduce to a plain Loader. Raises if the global batch cannot split
+    evenly across processes. Used by train.py (train + in-training eval)
+    and evaluate.py so the convention cannot drift between call sites."""
+    import jax
+    n_proc = max(1, jax.process_count())
+    if cfg.data.batch_size % n_proc:
+        raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
+                         f"divisible by the process count ({n_proc})")
+    return Loader(ds, cfg.data.batch_size // n_proc, shuffle=shuffle,
+                  drop_last=drop_last, num_threads=cfg.data.num_threads,
+                  seed=seed, shard_id=jax.process_index(),
+                  num_shards=n_proc, resize_to=host_resize_size(cfg))
+
+
 class Loader:
     """Iterable over stacked numpy batches, threaded decode, optional shuffle.
 

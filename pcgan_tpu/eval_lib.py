@@ -122,9 +122,11 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         # global rows consumed per step are local_rows * process_count —
         # count those, keeping max_images a GLOBAL budget
         n_proc = jax.process_count() if mesh is not None else 1
+        proc_idx = jax.process_index() if mesh is not None else 0
         seen = 0
         for raw in raw_iter:
-            perm = rng.permutation(raw["image"].shape[0])
+            perm = _local_perm_slice(rng, raw["image"].shape[0],
+                                     n_proc, proc_idx)
             r_stats, f_stats, hits, n = eval_batch(
                 g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
                 _put_batch(perm), r_stats, f_stats, hits, n)
@@ -138,6 +140,20 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         return out
 
     return run
+
+
+def _local_perm_slice(rng, local_n: int, n_proc: int, proc_idx: int):
+    """This host's slice of the GLOBAL target-bin permutation.
+
+    perm indexes the assembled global eval batch (bins[perm] reassigns each
+    fake's target bin), so on multi-process pods the values must cover the
+    global row range, not [0, local_n): each host permutes its own disjoint
+    block (put_global_batch lays host i's rows at [i*local_n, (i+1)*local_n)),
+    giving a valid block-diagonal global permutation — marginal preserved,
+    target-bin gathers shard-local. Single-process reduces to a plain
+    permutation. Every host must consume rng identically (same seed) so
+    cross-host rng streams stay aligned batch over batch."""
+    return rng.permutation(local_n) + proc_idx * local_n
 
 
 def make_feature_extractor(cfg: Config, comparator=None):

@@ -251,3 +251,17 @@ def test_host_resize_flag_parses():
     # only active when the preprocess mode resizes
     crop_only = parse_config(["--host_resize", "--preprocess", "crop"])
     assert host_resize_size(crop_only) == 0
+
+
+def test_make_process_loader_single_process():
+    """The shared factory (train/in-training-eval/evaluate.py all use it):
+    single-process it reduces to a plain full-batch Loader; indivisible
+    global batches raise instead of silently truncating."""
+    from pcgan_tpu.config import Config, DataConfig
+    from pcgan_tpu.data.loader import make_process_loader
+
+    cfg = Config(data=DataConfig(batch_size=4, num_threads=1))
+    ds = SyntheticAgingDataset(size=16, seed=0)
+    ld = make_process_loader(cfg, ds, shuffle=False)
+    assert ld.bs == 4 and ld.num_shards == 1 and ld.shard_id == 0
+    assert len(list(iter(ld))) == 4

@@ -386,3 +386,45 @@ def test_host_sidecar_roundtrip_and_stale_rejection(tmp_path):
     with open(os.path.join(d, "latest_host.json"), "w") as f:
         f.write("{not json")
     assert train_cli._read_host_sidecar(d, 42) == []
+
+
+@pytest.mark.slow
+def test_save_latest_freq_zero_saves_at_epoch_boundaries(workdir, capsys):
+    """--save_latest_freq 0 disables MID-epoch saves only: 'latest' must
+    still land at every epoch END even when save_epoch_freq exceeds the run
+    (else a preemption loses up to save_epoch_freq epochs). Killed after
+    epoch 1, the resume must find the step-4 epoch-boundary checkpoint —
+    the unconditional post-loop save cannot mask the belt here."""
+    import subprocess
+    import time as _time
+    import train as train_cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = str(workdir / "ckpt_slf0")
+    # 32 steps/epoch so epoch 2 is still in flight when the post-epoch-1
+    # kill lands (4-step epochs finish inside the async-commit sleep)
+    args = COMMON + ["--checkpoints_dir", ckpt_dir, "--niter", "2",
+                     "--niter_decay", "0", "--print_freq", "8",
+                     "--pool_size", "8", "--max_dataset_size", "128",
+                     "--save_latest_freq", "0", "--save_epoch_freq", "5"]
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train.py")] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        bufsize=1, cwd=repo, env=dict(os.environ))
+    saw = False
+    for line in p.stdout:
+        if "End of epoch 1/2" in line:
+            saw = True
+            _time.sleep(1.5)     # let the async epoch-boundary save commit
+            p.kill()
+            break
+    p.wait(timeout=60)
+    assert saw, "subprocess never finished epoch 1"
+    run = os.path.join(ckpt_dir, "smoke")
+    assert os.path.isdir(os.path.join(run, "latest"))
+    assert not any(d.startswith("epoch_") for d in os.listdir(run))
+
+    capsys.readouterr()
+    train_cli.main(args + ["--continue_train"])
+    out = capsys.readouterr().out
+    assert "resumed from step 32 (epoch 2)" in out

@@ -128,3 +128,21 @@ def test_sharded_evaluator_matches_single_device(np_rng):
     # identical math up to f32 summation order (per-shard partial sums)
     assert abs(sharded["fid"] - single["fid"]) < 1e-3 * max(
         1.0, abs(single["fid"])), (sharded, single)
+
+
+def test_local_perm_slice_assembles_global_permutation():
+    """Multi-process target-bin permutation: the per-host slices must
+    assemble into a valid permutation of the GLOBAL row range (regression:
+    host-local perms capped every target-bin index at local_n, so all fakes
+    drew their bins from process 0's rows)."""
+    from pcgan_tpu.eval_lib import _local_perm_slice
+
+    n_proc, local_n = 4, 8
+    # each host runs the same seeded rng stream (the run() contract)
+    slices = [_local_perm_slice(np.random.default_rng(3), local_n,
+                                n_proc, p) for p in range(n_proc)]
+    assembled = np.concatenate(slices)
+    assert sorted(assembled.tolist()) == list(range(n_proc * local_n))
+    # single-process reduces to a plain local permutation
+    solo = _local_perm_slice(np.random.default_rng(3), local_n, 1, 0)
+    assert sorted(solo.tolist()) == list(range(local_n))

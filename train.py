@@ -57,17 +57,9 @@ def main(argv=None):
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
-        n_proc = jax.process_count()
-        if cfg.data.batch_size % max(1, n_proc):
-            raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
-                             f"divisible by the process count ({n_proc})")
-        ld = data_loader.Loader(ds, cfg.data.batch_size // max(1, n_proc),
-                                shuffle=not cfg.data.serial_batches,
-                                num_threads=cfg.data.num_threads,
-                                seed=cfg.train.seed,
-                                shard_id=jax.process_index(),
-                                num_shards=n_proc,
-                                resize_to=data_loader.host_resize_size(cfg))
+        ld = data_loader.make_process_loader(
+            cfg, ds, shuffle=not cfg.data.serial_batches,
+            seed=cfg.train.seed)
         steps_per_epoch = max(1, len(ld))
         print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
               f"{steps_per_epoch} steps/epoch", flush=True)
@@ -204,7 +196,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     profiling = {"active": False, "left": cfg.run.profile_steps, "skip": 3}
     fid_eval = None
     if t.eval_fid_epoch_freq > 0:
-        from pcgan_tpu.data.loader import Loader, with_bins
+        from pcgan_tpu.data.loader import make_process_loader, with_bins
         from pcgan_tpu.eval_lib import make_fid_evaluator
         # host snapshots: the train step DONATES its state buffers, so any
         # device array captured here would be deleted after the first step
@@ -220,11 +212,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # each host's batch as its local shard of the global array — same
         # convention as the train loader), so eval rows are not duplicated.
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle, mesh=mesh)
-        n_proc = jax.process_count()
-        eval_ld = Loader(ld.ds, cfg.data.batch_size // max(1, n_proc),
-                         shuffle=False, num_threads=cfg.data.num_threads,
-                         shard_id=jax.process_index(), num_shards=n_proc,
-                         resize_to=data_loader.host_resize_size(cfg))
+        eval_ld = make_process_loader(cfg, ld.ds, shuffle=False)
 
         def fid_eval(state, epoch):
             g_vars = {"params": state.g_params, **state.g_state}
@@ -309,9 +297,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 plateau_bad=jax.device_put(jnp.float32(plateau.bad_epochs),
                                            repl))
         # belt for freq boundaries the in-loop modulo cannot hit exactly
-        # (steps_per_epoch changes across resumes)
-        if t.save_latest_freq > 0 and (
-                gstep // t.save_latest_freq
+        # (steps_per_epoch changes across resumes). save_latest_freq=0 means
+        # NO mid-epoch saves but 'latest' still lands at every epoch end (a
+        # preemption then loses at most one epoch, not save_epoch_freq of
+        # them)
+        if (t.save_latest_freq == 0 and epoch % t.save_epoch_freq != 0) or (
+                t.save_latest_freq > 0
+                and gstep // t.save_latest_freq
                 > last_latest_save // t.save_latest_freq):
             last_latest_save = gstep
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
@@ -364,7 +356,9 @@ def _read_host_sidecar(run_dir, step):
             rec = json.load(f)
         if int(rec.get("step", -1)) == int(step):
             return [float(x) for x in rec.get("epoch_losses", [])]
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # any malformed sidecar (non-dict JSON, wrong field types, truncated
+        # file) degrades to a fresh epoch metric, never a failed resume
         pass
     return []
 
