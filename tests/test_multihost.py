@@ -81,3 +81,29 @@ def test_two_process_full_train_step(tmp_path):
         else:
             assert (float(np.max(np.abs(ref[k] - dist[k])))
                     <= 2.1 * lr * n_steps), k
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval():
+    """VERDICT r2 item 4's multi-process leg: the distributed FID evaluator
+    runs across 2 jax.distributed processes with disjoint per-host loader
+    slices, counts the GLOBAL image budget, and is deterministic (which
+    requires the per-host target-bin permutation slices to assemble into a
+    valid global permutation — regression for the host-local perm bug)."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_eval_worker.py")
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    fids = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        line = [l for l in out.splitlines() if f"worker {pid}: OK" in l]
+        assert line, out
+        fids.add(line[0].split("fid=")[1])
+    assert len(fids) == 1, f"hosts disagree on the global FID: {fids}"
