@@ -466,10 +466,11 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     eval_ds = Subset(ds, perm[:n_eval]) if n_eval else None
     train_ds = Subset(ds, perm[n_eval:]) if n_eval else ds
 
-    ld = data_loader.Loader(train_ds, cfg.data.batch_size, shuffle=True,
-                            num_threads=cfg.data.num_threads,
-                            seed=cfg.train.seed,
-                            resize_to=data_loader.host_resize_size(cfg))
+    # pod-correct: disjoint per-host pair slices (put_global_batch in
+    # _shard_iter assembles the global batch — an unsharded Loader here
+    # would duplicate every pair process_count times)
+    ld = data_loader.make_process_loader(cfg, train_ds, shuffle=True,
+                                         seed=cfg.train.seed)
     steps_per_epoch = max(1, len(ld))
     print(f"comparator pairs: {len(train_ds)} train / {n_eval} held out, "
           f"{steps_per_epoch} steps/epoch", flush=True)
