@@ -136,6 +136,11 @@ class TrainConfig:
     init_g_from: str = ""
     # comparator pretraining
     comparator_path: str = ""        # frozen comparator ckpt for the GAN cond loss
+    # fraction of comparison pairs held out of pretraining for the
+    # out-of-sample eval_acc_cmp metric. BEYOND-REFERENCE default (the
+    # reference trains on every pair and reports train accuracy only);
+    # pass 0 for strict reference parity — the eval metric is then skipped
+    cmp_eval_frac: float = 0.1
     # in-training eval (BASELINE config 5 streaming FID)
     eval_fid_epoch_freq: int = 0     # 0 = off; else FID every N epochs
     eval_fid_images: int = 512
@@ -278,6 +283,7 @@ _FLAG_MAP = {
     "ema_decay": ("train", "ema_decay"),
     "init_g_from": ("train", "init_g_from"),
     "comparator_path": ("train", "comparator_path"),
+    "cmp_eval_frac": ("train", "cmp_eval_frac"),
     "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
     "eval_fid_images": ("train", "eval_fid_images"),
     # test options

@@ -192,7 +192,10 @@ class Loader:
 
         out = dict(batch)
         for k, v in batch.items():
-            if v.ndim == 4 and v.dtype == np.uint8 and v.shape[1] != self.resize_to:
+            # both spatial dims must already match to skip (a non-square
+            # native canvas with H == resize_to still needs the resize)
+            if (v.ndim == 4 and v.dtype == np.uint8
+                    and v.shape[1:3] != (self.resize_to, self.resize_to)):
                 out[k] = np.stack(list(self.pool.map(one, v)))
         return out
 

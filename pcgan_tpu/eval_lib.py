@@ -45,6 +45,13 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     pre = make_preprocess(cfg, train=False)
     if mesh is not None and mesh.shape.get("data", 1) <= 1:
         mesh = None
+    if mesh is None and jax.process_count() > 1:
+        # loaders on pods are process-sharded (make_process_loader), so a
+        # mesh-less evaluator would have each host silently compute a
+        # partial FID over only its own slice with a per-host image budget
+        raise ValueError(
+            "multi-process eval requires a mesh with a data axis > 1 "
+            "(each host only holds a shard of the eval data)")
     if mesh is not None and cfg.data.batch_size % mesh.shape["data"]:
         raise ValueError(
             f"distributed eval needs --batch_size {cfg.data.batch_size} "

@@ -96,7 +96,11 @@ def restore_state(state: Any, checkpoints_dir: str, name: str,
         if key == "ema_params" and meta[key] is not None and tmpl is None:
             notes.append("checkpoint has an EMA twin but --ema_decay is 0: "
                          "dropping it (pass --ema_decay to keep updating it)")
-            target[key] = fields["g_params"]   # stand-in: EMA mirrors G
+            # stand-in restore then discard: StandardCheckpointer needs a
+            # structure-matched target, so the twin IS deserialized once
+            # (one G-sized read per resume) — accepted over switching this
+            # path to PyTreeCheckpointHandler partial-restore machinery
+            target[key] = fields["g_params"]
             drop.add(key)
             continue
         if meta[key] is None and tmpl is not None:

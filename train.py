@@ -301,7 +301,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # NO mid-epoch saves but 'latest' still lands at every epoch end (a
         # preemption then loses at most one epoch, not save_epoch_freq of
         # them)
-        if (t.save_latest_freq == 0 and epoch % t.save_epoch_freq != 0) or (
+        if (t.save_latest_freq == 0
+                and (t.save_epoch_freq <= 0
+                     or epoch % t.save_epoch_freq != 0)) or (
                 t.save_latest_freq > 0
                 and gstep // t.save_latest_freq
                 > last_latest_save // t.save_latest_freq):
@@ -309,7 +311,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       "latest")
             save_g(state, "latest")
-        if epoch % t.save_epoch_freq == 0:
+        if t.save_epoch_freq > 0 and epoch % t.save_epoch_freq == 0:
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       f"epoch_{epoch}")
             save_g(state, f"epoch_{epoch}")
@@ -459,9 +461,11 @@ def _train_comparator(cfg, mesh, logger, run_dir):
             cfg, data=dataclasses.replace(cfg.data, dataset_mode="pairwise"))
         ds = data_loader.create_dataset(pair_cfg, train=True)
 
-    # held-out split: ~10% of pairs (when there are enough to spare) are
-    # never trained on; epoch-end accuracy on them is the logged eval metric
-    n_eval = len(ds) // 10 if len(ds) >= 20 else 0
+    # held-out split (--cmp_eval_frac, beyond-reference, 0 = strict parity):
+    # these pairs are never trained on; epoch-end accuracy on them is the
+    # logged out-of-sample eval metric
+    n_eval = (int(len(ds) * cfg.train.cmp_eval_frac)
+              if len(ds) >= 20 else 0)
     perm = np.random.default_rng(cfg.train.seed + 0x0e7a1).permutation(len(ds))
     eval_ds = Subset(ds, perm[:n_eval]) if n_eval else None
     train_ds = Subset(ds, perm[n_eval:]) if n_eval else ds
@@ -515,11 +519,19 @@ def _train_comparator(cfg, mesh, logger, run_dir):
             resize_to=data_loader.host_resize_size(cfg))
 
         def eval_acc(state):
-            accs = [float(jax.device_get(_eval_batch(
-                state.params, state.state, jnp.asarray(r["image_a"]),
-                jnp.asarray(r["image_b"]), jnp.asarray(r["label"]))))
-                for r in iter(eval_ld)]
-            return float(np.mean(accs)) if accs else float("nan")
+            # weight per-batch means by batch size: drop_last=False leaves a
+            # partial final batch, and an unweighted mean would overweight
+            # its pairs — the logged metric must be the true PER-PAIR
+            # accuracy over the whole held-out split
+            hits = total = 0.0
+            for r in iter(eval_ld):
+                acc = float(jax.device_get(_eval_batch(
+                    state.params, state.state, jnp.asarray(r["image_a"]),
+                    jnp.asarray(r["image_b"]), jnp.asarray(r["label"]))))
+                bsz = r["label"].shape[0]
+                hits += acc * bsz
+                total += bsz
+            return hits / total if total else float("nan")
 
     total_epochs = cfg.train.niter + cfg.train.niter_decay
     gstep = int(state.step)
@@ -538,7 +550,8 @@ def _train_comparator(cfg, mesh, logger, run_dir):
             print(f"comparator held-out accuracy: {acc:.4f}", flush=True)
         # preemption safety: latest every epoch, numbered per cadence
         ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name, "cmp_latest")
-        if epoch % cfg.train.save_epoch_freq == 0:
+        if cfg.train.save_epoch_freq > 0 and (
+                epoch % cfg.train.save_epoch_freq == 0):
             ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                       f"cmp_epoch_{epoch}")
         print(f"End of comparator epoch {epoch}/{total_epochs}", flush=True)
