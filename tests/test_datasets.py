@@ -265,3 +265,17 @@ def test_make_process_loader_single_process():
     ld = make_process_loader(cfg, ds, shuffle=False)
     assert ld.bs == 4 and ld.num_shards == 1 and ld.shard_id == 0
     assert len(list(iter(ld))) == 4
+
+
+def test_host_resize_non_square_canvas():
+    """--host_resize must resize when EITHER spatial dim differs from the
+    target (regression: an H==resize_to, W!=resize_to batch was silently
+    shipped un-resized)."""
+    ds = SyntheticAgingDataset(size=4, seed=0)
+    ld = Loader(ds, 4, shuffle=False, num_threads=1, resize_to=48)
+    batch = {"image": np.zeros((4, 48, 64, 3), np.uint8)}
+    out = ld._host_resize(batch)
+    assert out["image"].shape == (4, 48, 48, 3)
+    # already-square-at-target passes through untouched (no PIL round trip)
+    same = {"image": np.zeros((4, 48, 48, 3), np.uint8)}
+    assert ld._host_resize(same)["image"] is same["image"]
