@@ -131,6 +131,36 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512) -> float:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def measure_infer(cfg, steps: int, warmup: int = 3) -> float:
+    """Batched G-only inference throughput (the serving-side complement to
+    --latency's batch-1 number): one jitted generator forward per dispatch
+    at the training batch size, device_get-synced like every number here."""
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_G
+    from pcgan_tpu.models.registry import init_params
+
+    G = define_G(cfg)
+    s = cfg.data.crop_size
+    dt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32)
+    bs = cfg.data.batch_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((bs, s, s, cfg.data.input_nc)), dt)
+    cond = jnp.asarray(np.eye(cfg.data.n_age_bins)[
+        rng.integers(0, cfg.data.n_age_bins, bs)], dt)
+    variables = init_params(G, jax.random.PRNGKey(0), x[:1], cond[:1],
+                            train=False)
+    fwd = jax.jit(lambda v, a, c: G.apply(v, a, c, train=False))
+    for _ in range(warmup):
+        y = fwd(variables, x, cond)
+    _ = float(jax.device_get(y[0, 0, 0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = fwd(variables, x, cond)
+    _ = float(jax.device_get(y[0, 0, 0, 0]))
+    return bs * steps / (time.perf_counter() - t0)
+
+
 def measure_latency(cfg, n: int = 50):
     """Single-image aging-sample latency (BASELINE latency metric), two ways:
 
@@ -198,6 +228,9 @@ def main():
     p.add_argument("--smoke", action="store_true", help="tiny CPU config")
     p.add_argument("--latency", action="store_true",
                    help="measure p50/p99 single-image sample latency instead")
+    p.add_argument("--infer", action="store_true",
+                   help="measure batched G-only inference throughput "
+                        "(serving-side complement to --latency)")
     p.add_argument("--e2e", action="store_true",
                    help="end-to-end rate incl. JPEG decode + host->device "
                         "transfer (synthetic on-disk dataset)")
@@ -261,6 +294,15 @@ def main():
             # meaningful latency off this sandbox's HTTP-tunneled PJRT
             "device_ms": device_ms,
         }))
+        return
+
+    if args.infer:
+        value = measure_infer(cfg, max(steps, 20))
+        print(json.dumps({
+            "metric": f"infer_imgs_per_sec_per_chip_{cfg.data.crop_size}px",
+            "value": round(value, 2), "unit": "imgs/s/chip",
+            "vs_baseline": None,
+            "batch": cfg.data.batch_size}))
         return
 
     if args.e2e:
