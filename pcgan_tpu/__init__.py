@@ -36,6 +36,8 @@ _EXPORTS = {
     "init_params": ("pcgan_tpu.models.registry", "init_params"),
     "create_train_state": ("pcgan_tpu.train", "create_train_state"),
     "make_train_step": ("pcgan_tpu.train", "make_train_step"),
+    "export_generator": ("pcgan_tpu.serving", "export_generator"),
+    "load_exported": ("pcgan_tpu.serving", "load_exported"),
 }
 
 

@@ -1,0 +1,192 @@
+"""AOT serving export: the trained generator as a self-contained StableHLO
+artifact (SURVEY.md SS2 C2 sampling surface / BASELINE config 4 batch
+inference, taken to its production-serving conclusion).
+
+The reference's deployment story is "load the .pth in a torch process and
+call the module" — every serving host needs the model code, the options
+parser, and a framework that re-traces on every shape. The TPU-native
+counterpart exports ONCE through ``jax.export``:
+
+- the generator's weights are baked into the program as constants — the
+  artifact is the model, no Flax/model-zoo/config needed at load time;
+- the batch dimension is exported SYMBOLICALLY, so one artifact serves any
+  request batch size with zero retraces (XLA compiles per concrete shape at
+  first use, from the already-lowered StableHLO);
+- multi-platform lowering (``tpu`` + ``cpu`` by default): the same bytes run
+  on a TPU serving fleet and in CPU CI/integration tests;
+- the public call contract is fixed at export: f32 images in [-1, 1] and an
+  f32 condition row (one-hot age bins, or a 1-channel normalized score for
+  ``cond_mode=score``) -> f32 images in [-1, 1]. Compute-dtype casts
+  (bf16 on the perf path) happen inside the artifact.
+
+``load_exported`` needs only jax + numpy — it never imports the model code
+(self-containment is pinned by tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+_ARTIFACT = "generator.stablehlo"
+_META = "meta.json"
+_FORMAT = "pcgan_tpu.serving/1"
+
+
+def make_infer_fn(cfg, G):
+    """(g_variables, images f32, cond f32) -> f32 fakes — the fixed serving
+    contract around ``G.apply`` (eval mode, casts inside)."""
+    import jax.numpy as jnp
+    compute_dtype = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                     else jnp.float32)
+
+    def fn(g_variables, images, cond):
+        out = G.apply(g_variables, images.astype(compute_dtype),
+                      cond.astype(compute_dtype), train=False)
+        return out.astype(jnp.float32)
+
+    return fn
+
+
+def export_generator(cfg, g_variables, out_dir: str,
+                     platforms: Sequence[str] = ("tpu", "cpu"),
+                     fixed_batch: Optional[int] = None,
+                     ema_source: bool = False, G: Any = None) -> str:
+    """Serialize the generator to ``out_dir/generator.stablehlo`` (+ meta).
+
+    ``fixed_batch=None`` exports a symbolic batch dimension; an integer pins
+    it (the loader then pads/slices requests to that size). Returns the
+    artifact path."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = make_infer_fn(cfg, G=G if G is not None else _define_g(cfg))
+    s = cfg.data.crop_size
+    cond_nc = cfg.cond_nc
+
+    # close over the weights -> they serialize as module constants
+    def serve(images, cond):
+        return fn(g_variables, images, cond)
+
+    if fixed_batch is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = int(fixed_batch)
+    img_spec = jax.ShapeDtypeStruct((b, s, s, cfg.data.input_nc), jnp.float32)
+    cond_spec = jax.ShapeDtypeStruct((b, cond_nc), jnp.float32)
+    exported = jax.export.export(
+        jax.jit(serve), platforms=list(platforms))(img_spec, cond_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, _ARTIFACT)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "format": _FORMAT,
+        "platforms": list(platforms),
+        "fixed_batch": fixed_batch,
+        "crop_size": s,
+        "input_nc": cfg.data.input_nc,
+        "output_nc": cfg.data.output_nc,
+        "cond_nc": cond_nc,
+        "cond_mode": cfg.model.cond_mode,
+        "n_age_bins": cfg.data.n_age_bins,
+        "max_age": cfg.data.max_age,
+        "netG": cfg.model.netG,
+        "compute_dtype": cfg.model.dtype,
+        "ema_source": bool(ema_source),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return path
+
+
+def _define_g(cfg):
+    from pcgan_tpu.models import define_G
+    return define_G(cfg)
+
+
+class ServedGenerator:
+    """A loaded serving artifact. Only needs jax + numpy — no model code.
+
+    ``__call__(images, cond)``: f32 [-1,1] NHWC batch + condition rows ->
+    f32 fakes. ``progression(images)``: every condition for every input in
+    ONE batched call -> (B, n_conditions, H, W, C) — the reference's aging
+    grid (BASELINE config 4) as a single MXU-friendly dispatch.
+    """
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = dict(meta)
+
+    # -- call ---------------------------------------------------------------
+    def __call__(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        import jax
+        images = np.asarray(images, np.float32)
+        cond = np.asarray(cond, np.float32)
+        if images.ndim != 4 or cond.ndim != 2:
+            raise ValueError("expected images (B,H,W,C) and cond (B,K)")
+        if images.shape[0] != cond.shape[0]:
+            raise ValueError(
+                f"batch mismatch: images {images.shape[0]} vs cond "
+                f"{cond.shape[0]}")
+        fb = self.meta.get("fixed_batch")
+        if fb is None:
+            return np.asarray(self._exported.call(images, cond))
+        # fixed-batch artifact: serve any request size by pad + slice
+        n = images.shape[0]
+        out = []
+        for at in range(0, n, fb):
+            img_c = images[at:at + fb]
+            cnd_c = cond[at:at + fb]
+            k = img_c.shape[0]
+            if k < fb:
+                img_c = np.concatenate(
+                    [img_c, np.repeat(img_c[-1:], fb - k, axis=0)], axis=0)
+                cnd_c = np.concatenate(
+                    [cnd_c, np.repeat(cnd_c[-1:], fb - k, axis=0)], axis=0)
+            out.append(np.asarray(self._exported.call(img_c, cnd_c))[:k])
+        return np.concatenate(out, axis=0)
+
+    # -- conditions ---------------------------------------------------------
+    def all_conditions(self) -> np.ndarray:
+        """(n_conditions, cond_nc): every age bin one-hot, or the even sweep
+        of the normalized score range for score-mode artifacts."""
+        nb = int(self.meta["n_age_bins"])
+        if self.meta["cond_mode"] == "score":
+            return np.linspace(-1.0, 1.0, nb, dtype=np.float32)[:, None]
+        return np.eye(nb, dtype=np.float32)
+
+    def progression(self, images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images, np.float32)
+        conds = self.all_conditions()
+        nb = conds.shape[0]
+        b = images.shape[0]
+        x = np.repeat(images, nb, axis=0)
+        c = np.tile(conds, (b, 1))
+        fakes = self(x, c)
+        return fakes.reshape(b, nb, *fakes.shape[1:])
+
+
+def load_exported(out_dir: str) -> ServedGenerator:
+    """Load an exported artifact directory. Raises with a clear message on a
+    missing/foreign directory."""
+    import jax
+    meta_path = os.path.join(out_dir, _META)
+    art_path = os.path.join(out_dir, _ARTIFACT)
+    if not (os.path.isfile(meta_path) and os.path.isfile(art_path)):
+        raise FileNotFoundError(
+            f"{out_dir} is not a pcgan_tpu serving export (need {_META} + "
+            f"{_ARTIFACT}; produce one with tools/export_serving.py)")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if not isinstance(meta, dict) or meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"{meta_path}: unsupported format {meta.get('format')!r} "
+            f"(expected {_FORMAT!r})")
+    with open(art_path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return ServedGenerator(exported, meta)

@@ -1,0 +1,217 @@
+"""Serving export (pcgan_tpu/serving.py): a trained generator as a
+self-contained StableHLO artifact — SURVEY.md SS2 C2 / BASELINE config 4
+(batch inference) taken to production serving.
+
+Pinned properties:
+- export -> deserialize -> call matches the live ``G.apply`` (weights are
+  baked in as constants);
+- the symbolic batch dimension serves MULTIPLE batch sizes from one artifact;
+- ``load_exported`` is self-contained: it runs with the model registry
+  blocked, so a serving host needs no model code;
+- fixed-batch artifacts pad + slice transparently;
+- score-mode artifacts carry the 1-channel condition contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_cfg(cond_mode="onehot", dtype="float32"):
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    return Config(
+        data=DataConfig(batch_size=2, crop_size=32, load_size=36,
+                        n_age_bins=4),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8, dtype=dtype,
+                          cond_mode=cond_mode, cond_inject="bottleneck"))
+
+
+def _init_g(cfg):
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_G
+    from pcgan_tpu.models.registry import init_params
+    G = define_G(cfg)
+    v = init_params(G, jax.random.PRNGKey(7),
+                    jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size,
+                               cfg.data.input_nc)),
+                    jnp.zeros((1, cfg.cond_nc)), train=False)
+    return G, v
+
+
+def _rand_inputs(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    s = cfg.data.crop_size
+    imgs = rng.uniform(-1, 1, (b, s, s, cfg.data.input_nc)).astype(np.float32)
+    if cfg.model.cond_mode == "score":
+        cond = rng.uniform(-1, 1, (b, 1)).astype(np.float32)
+    else:
+        cond = np.eye(cfg.data.n_age_bins, dtype=np.float32)[
+            rng.integers(0, cfg.data.n_age_bins, b)]
+    return imgs, cond
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    import jax.numpy as jnp
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    path = export_generator(cfg, v, str(tmp_path), G=G)
+    assert os.path.isfile(path)
+    served = load_exported(str(tmp_path))
+    # one artifact, several batch sizes — symbolic dim, no re-export
+    for b in (1, 2, 5):
+        imgs, cond = _rand_inputs(cfg, b, seed=b)
+        got = served(imgs, cond)
+        want = np.asarray(G.apply(v, jnp.asarray(imgs), jnp.asarray(cond),
+                                  train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_loader_needs_no_model_code(tmp_path, monkeypatch):
+    """A serving host imports only pcgan_tpu.serving — pin that the load +
+    call path never touches the model registry (weights + architecture live
+    in the artifact)."""
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+
+    import pcgan_tpu.models as models
+    import pcgan_tpu.serving as serving
+
+    def _blocked(*a, **k):
+        raise AssertionError("serving load path imported the model registry")
+
+    monkeypatch.setattr(models, "define_G", _blocked)
+    monkeypatch.setattr(serving, "_define_g", _blocked)
+    served = load_exported(str(tmp_path))
+    imgs, cond = _rand_inputs(cfg, 3)
+    out = served(imgs, cond)
+    assert out.shape == imgs.shape and np.isfinite(out).all()
+
+
+def test_progression_matches_sampler(tmp_path):
+    import jax.numpy as jnp
+    from pcgan_tpu.sample import make_sampler
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    served = load_exported(str(tmp_path))
+    imgs, _ = _rand_inputs(cfg, 2)
+    got = served.progression(imgs)
+    want = np.asarray(make_sampler(cfg, G)(v, jnp.asarray(imgs)))
+    assert got.shape == want.shape == (2, cfg.data.n_age_bins, 32, 32, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fixed_batch_pads_and_slices(tmp_path):
+    import jax.numpy as jnp
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G, fixed_batch=4)
+    served = load_exported(str(tmp_path))
+    assert served.meta["fixed_batch"] == 4
+    imgs, cond = _rand_inputs(cfg, 6)      # 4 + ragged 2 -> two padded calls
+    got = served(imgs, cond)
+    want = np.asarray(G.apply(v, jnp.asarray(imgs), jnp.asarray(cond),
+                              train=False))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_score_mode_contract(tmp_path):
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg(cond_mode="score")
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    served = load_exported(str(tmp_path))
+    assert served.meta["cond_mode"] == "score"
+    conds = served.all_conditions()
+    assert conds.shape == (cfg.data.n_age_bins, 1)
+    np.testing.assert_allclose(conds[:, 0],
+                               np.linspace(-1, 1, cfg.data.n_age_bins))
+    grid = served.progression(_rand_inputs(cfg, 2)[0])
+    assert grid.shape == (2, cfg.data.n_age_bins, 32, 32, 3)
+    assert np.isfinite(grid).all()
+
+
+def test_bf16_artifact_casts_inside(tmp_path):
+    """The call contract is f32 even when the artifact computes in bf16."""
+    import jax.numpy as jnp
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg(dtype="bfloat16")
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    served = load_exported(str(tmp_path))
+    imgs, cond = _rand_inputs(cfg, 2)
+    got = served(imgs, cond)
+    assert got.dtype == np.float32
+    want = np.asarray(G.apply(v, jnp.asarray(imgs, jnp.bfloat16),
+                              jnp.asarray(cond, jnp.bfloat16),
+                              train=False), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def test_load_rejects_foreign_dirs(tmp_path):
+    from pcgan_tpu.serving import load_exported
+    with pytest.raises(FileNotFoundError, match="serving export"):
+        load_exported(str(tmp_path / "nope"))
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "generator.stablehlo").write_bytes(b"x")
+    (bad / "meta.json").write_text(json.dumps({"format": "other/9"}))
+    with pytest.raises(ValueError, match="unsupported format"):
+        load_exported(str(bad))
+
+
+def test_input_validation(tmp_path):
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    served = load_exported(str(tmp_path))
+    imgs, cond = _rand_inputs(cfg, 2)
+    with pytest.raises(ValueError, match="batch mismatch"):
+        served(imgs, cond[:1])
+    with pytest.raises(ValueError, match=r"\(B,H,W,C\)"):
+        served(imgs[0], cond)
+
+
+def test_cli_export_verify(tmp_path):
+    """tools/export_serving.py end-to-end: save a G-only checkpoint, export
+    with --verify (round-trips the artifact against the live model)."""
+    import subprocess
+    import sys
+    import jax
+    from pcgan_tpu.train import create_train_state
+    from pcgan_tpu.models import define_D
+    from pcgan_tpu.utils import checkpoint as ckpt
+    cfg = _tiny_cfg()
+    G, _ = _init_g(cfg)
+    D = define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0),
+                               steps_per_epoch=1)
+    ckpt.save_generator(state, str(tmp_path / "ck"), "run", wait=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "export_serving.py"),
+         "--name", "run", "--checkpoints_dir", str(tmp_path / "ck"),
+         "--netG", "resnet_6blocks", "--ngf", "8",
+         "--cond_inject", "bottleneck", "--dtype", "float32",
+         "--crop_size", "32", "--n_age_bins", "4",
+         "--platforms", "cpu", "--verify",
+         "--out_dir", str(tmp_path / "srv")],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "verify: max|exported - live|" in out.stdout
+    assert os.path.isfile(str(tmp_path / "srv" / "generator.stablehlo"))
+    meta = json.loads((tmp_path / "srv" / "meta.json").read_text())
+    assert meta["netG"] == "resnet_6blocks" and meta["fixed_batch"] is None

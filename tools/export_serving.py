@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Export a trained generator to a self-contained StableHLO serving artifact
+(SURVEY.md SS2 C2 / BASELINE config 4 taken to production serving;
+pcgan_tpu/serving.py holds the format).
+
+    python tools/export_serving.py --name run1 --checkpoints_dir ./checkpoints \
+        --netG resnet_9blocks --crop_size 128 --n_age_bins 10 \
+        --out_dir ./serving/run1
+
+The artifact bakes the weights in as constants and exports a SYMBOLIC batch
+dimension for {tpu, cpu} by default — one directory serves any batch size on
+either platform with no model code, config, or Flax at load time:
+
+    from pcgan_tpu.serving import load_exported
+    g = load_exported("./serving/run1")
+    fakes = g(images, cond)            # f32 [-1,1] NHWC -> f32 [-1,1]
+    grid = g.progression(images)       # (B, n_conditions, H, W, C)
+
+``--verify`` round-trips the artifact against the live model on random
+inputs before reporting success. ``--use_ema`` exports the EMA twin.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, _ROOT)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True)
+    p.add_argument("--checkpoints_dir", default="./checkpoints")
+    p.add_argument("--tag", default="latest")
+    p.add_argument("--use_ema", action="store_true",
+                   help="export the EMA twin ({tag}_G_ema)")
+    p.add_argument("--out_dir", default=None,
+                   help="artifact directory (default <ckpt_dir>/<name>/"
+                        "serving[_ema])")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.add_argument("--fixed_batch", type=int, default=None,
+                   help="pin the batch dimension (default: symbolic — one "
+                        "artifact serves every batch size)")
+    p.add_argument("--verify", action="store_true",
+                   help="round-trip the artifact vs the live model on "
+                        "random inputs (needs a platform from --platforms "
+                        "available locally)")
+    p.add_argument("--netG", default="resnet_9blocks")
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--norm", default="instance")
+    p.add_argument("--cond_inject", default="input")
+    p.add_argument("--cond_mode", default="onehot", choices=["onehot", "score"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype INSIDE the artifact (call contract "
+                        "stays f32 either way)")
+    p.add_argument("--crop_size", type=int, default=128)
+    p.add_argument("--n_age_bins", type=int, default=10)
+    p.add_argument("--input_nc", type=int, default=3)
+    p.add_argument("--output_nc", type=int, default=3)
+    args = p.parse_args(argv)
+
+    from pcgan_tpu.platform import respect_env_platform
+    respect_env_platform()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.models import define_G
+    from pcgan_tpu.models.registry import init_params
+    from pcgan_tpu.serving import export_generator, load_exported
+    from pcgan_tpu.utils import checkpoint as ckpt
+
+    cfg = Config(
+        data=DataConfig(crop_size=args.crop_size, n_age_bins=args.n_age_bins,
+                        input_nc=args.input_nc, output_nc=args.output_nc),
+        model=ModelConfig(netG=args.netG, ngf=args.ngf, norm=args.norm,
+                          cond_inject=args.cond_inject,
+                          cond_mode=args.cond_mode, dtype=args.dtype))
+    G = define_G(cfg)
+    template = init_params(
+        G, jax.random.PRNGKey(0),
+        jnp.zeros((1, args.crop_size, args.crop_size, args.input_nc)),
+        jnp.zeros((1, cfg.cond_nc)), train=False)
+    g_vars = ckpt.restore_generator(template, args.checkpoints_dir, args.name,
+                                    args.tag, use_ema=args.use_ema)
+
+    out_dir = args.out_dir
+    if out_dir is None:
+        out_dir = os.path.join(args.checkpoints_dir, args.name,
+                               "serving_ema" if args.use_ema else "serving")
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+    path = export_generator(cfg, g_vars, out_dir, platforms=platforms,
+                            fixed_batch=args.fixed_batch,
+                            ema_source=args.use_ema, G=G)
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"exported [{args.tag}{'_G_ema' if args.use_ema else '_G'}] -> "
+          f"{path} ({size_mb:.1f} MB, platforms={platforms}, "
+          f"batch={'symbolic' if args.fixed_batch is None else args.fixed_batch})",
+          flush=True)
+
+    if args.verify:
+        served = load_exported(out_dir)
+        b = args.fixed_batch or 3
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(-1, 1, (b, args.crop_size, args.crop_size,
+                                   args.input_nc)).astype(np.float32)
+        conds = served.all_conditions()
+        cond = conds[rng.integers(0, conds.shape[0], b)]
+        got = served(imgs, cond)
+        want = np.asarray(
+            G.apply(g_vars, jnp.asarray(imgs).astype(
+                jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32),
+                jnp.asarray(cond).astype(
+                    jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32),
+                train=False), np.float32)
+        err = float(np.abs(got - want).max())
+        print(f"verify: max|exported - live| = {err:.2e}", flush=True)
+        if not np.isfinite(err) or err > 5e-2:
+            raise SystemExit("verification FAILED")
+
+
+if __name__ == "__main__":
+    main()
