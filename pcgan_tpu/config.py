@@ -367,6 +367,12 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=str, default=None,
                    help="comma-separated mesh, e.g. '8' or '4,2' "
                         "(axes data[,spatial]); -1 = all devices")
+    p.add_argument("--mesh_axes", type=str, default=None,
+                   help="comma-separated axis names for --mesh_shape, a "
+                        "subset of data,spatial,model (default: "
+                        "data[,spatial] by position). 'model' shards "
+                        "params + optimizer + EMA over the axis (tensor/"
+                        "weight parallelism via GSPMD, parallel/auto.py)")
     # reference-CLI compatibility: accepted and ignored (visdom/display-server
     # and torch-device options have no TPU equivalent; noted in README)
     for ignored in ("gpu_ids", "display_id", "display_port", "display_server",
@@ -392,13 +398,29 @@ def parse_config(argv=None, is_train: bool = True) -> Config:
         v = getattr(args, flag, None)
         if v is not None:
             sections[section][fname] = v
+    if args.mesh_axes is not None and args.mesh_shape is None:
+        raise SystemExit("--mesh_axes requires --mesh_shape")
     if args.mesh_shape is not None:
         sections["parallel"]["mesh_shape"] = tuple(
             int(x) for x in args.mesh_shape.split(","))
         n = len(sections["parallel"]["mesh_shape"])
-        # this workload's axes are data (+ optional spatial for 256px
-        # activation sharding); no model axis exists (SURVEY.md SS3.1)
-        sections["parallel"]["mesh_axes"] = tuple(["data", "spatial"][:n])
+        if args.mesh_axes is not None:
+            axes = tuple(a.strip() for a in args.mesh_axes.split(","))
+            valid = ("data", "spatial", "model")
+            if (len(axes) != n or len(set(axes)) != len(axes)
+                    or any(a not in valid for a in axes) or "data" not in axes):
+                raise SystemExit(
+                    f"--mesh_axes {args.mesh_axes!r}: need {n} distinct "
+                    f"names from {valid} including 'data'")
+            sections["parallel"]["mesh_axes"] = axes
+        else:
+            # positional default: data (+ optional spatial for 256px
+            # activation sharding); 'model' must be named explicitly
+            if n > 2:
+                raise SystemExit(
+                    "mesh_shape with >2 axes needs --mesh_axes names")
+            sections["parallel"]["mesh_axes"] = tuple(
+                ["data", "spatial"][:n])
     sections["run"]["isTrain"] = is_train
     if not is_train:
         sections["run"].setdefault("phase", "test")

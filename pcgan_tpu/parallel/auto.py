@@ -1,16 +1,22 @@
-"""Compiler-partitioned (GSPMD) train step: data x spatial sharding
-(SURVEY.md SS3.1 spatial-partitioning row for the 256px config).
+"""Compiler-partitioned (GSPMD) train step: data x spatial x model sharding
+(SURVEY.md SS3.1 spatial-partitioning row for the 256px config; the `model`
+axis is the beyond-reference tensor/weight-parallel dial).
 
 The shard_map path (train_parallel.py) is the explicit-collective DP design.
-This module is the complementary XLA-auto path for meshes with a `spatial`
-axis: the step is jitted with replicated params and a batch constrained to
-``P('data', 'spatial', None, None)`` — activations of every conv are then
-partitioned along H by the GSPMD propagation pass, and XLA inserts the conv
-halo exchanges over ICI automatically (the reason to prefer jit over
-shard_map here: hand-writing conv halos buys nothing).
+This module is the complementary XLA-auto path for meshes with extra axes:
 
-Use when a 256px activation footprint would blow per-chip HBM at the
-desired batch size; otherwise pure DP wins (no halo traffic).
+- ``spatial``: the batch is constrained to ``P('data', 'spatial', None,
+  None)`` — activations of every conv are then partitioned along H by the
+  GSPMD propagation pass, and XLA inserts the conv halo exchanges over ICI
+  automatically (the reason to prefer jit over shard_map here: hand-writing
+  conv halos buys nothing). Use when a 256px activation footprint would blow
+  per-chip HBM at the desired batch size; otherwise pure DP wins.
+- ``model``: params, BOTH optimizer trees, and the EMA twin are sharded on
+  their trailing (output-channel) dimension — a tensor-parallel / FSDP
+  hybrid where GSPMD chooses per-op between output-channel-parallel convs
+  and gather-on-use. Adam keeps 3x params in f32, so an n-way model axis
+  cuts the dominant non-activation HBM term by n; use when a scaled-up
+  generator (--ngf) plus optimizer state outgrows one chip.
 """
 
 from __future__ import annotations
@@ -24,13 +30,48 @@ from pcgan_tpu.config import Config
 from pcgan_tpu.ops.preprocess import make_preprocess
 from pcgan_tpu.train import TrainState, make_train_step
 
-DATA, SPATIAL = "data", "spatial"
+DATA, SPATIAL, MODEL = "data", "spatial", "model"
+
+
+def _has_axis(mesh: Mesh, ax: str) -> bool:
+    return ax in mesh.axis_names and mesh.shape[ax] > 1
 
 
 def _img_spec(mesh: Mesh) -> P:
-    if SPATIAL in mesh.axis_names and mesh.shape[SPATIAL] > 1:
+    if _has_axis(mesh, SPATIAL):
         return P(DATA, SPATIAL, None, None)
     return P(DATA, None, None, None)
+
+
+# TrainState fields whose leaves carry a trailing output-channel dimension
+# worth sharding over the model axis (optimizer trees mirror param shapes,
+# so Adam's mu/nu — 2x params in f32 — shard identically).
+_MODEL_SHARDED_FIELDS = frozenset(
+    {"g_params", "d_params", "g_opt", "d_opt", "ema_params"})
+
+
+def model_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """A TrainState-shaped tree of NamedShardings for the `model` axis:
+    param/optimizer/EMA leaves shard their LAST dim (conv output channels,
+    dense outputs, biases) when it divides the axis size; every other leaf —
+    pool, rng, anchors, scalars, frozen comparator — replicates. The 3- and
+    13-channel image-space edges fail the divisibility test and replicate,
+    so the rule needs no per-layer map."""
+    nm = mesh.shape[MODEL]
+    rep = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shp = getattr(x, "shape", ())
+        if len(shp) >= 1 and shp[-1] >= nm and shp[-1] % nm == 0:
+            return NamedSharding(mesh, P(*([None] * (len(shp) - 1)), MODEL))
+        return rep
+
+    out = {}
+    for f in state.__dataclass_fields__:
+        sub = getattr(state, f)
+        out[f] = (jax.tree.map(leaf, sub) if f in _MODEL_SHARDED_FIELDS
+                  else jax.tree.map(lambda _: rep, sub))
+    return state.replace(**out)
 
 
 def make_auto_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
@@ -47,6 +88,7 @@ def make_auto_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                             axis_name=None)
     pre = make_preprocess(cfg, train=True) if with_preprocess else None
     img_spec = _img_spec(mesh)
+    constrain_model = _has_axis(mesh, MODEL)
 
     def step(state: TrainState, raw):
         if pre is not None:
@@ -57,15 +99,27 @@ def make_auto_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             batch = dict(raw)
         batch["image"] = jax.lax.with_sharding_constraint(
             batch["image"], NamedSharding(mesh, img_spec))
-        return inner(state, batch)
+        new_state, metrics = inner(state, batch)
+        if constrain_model:
+            # keep the updated params/opt/EMA on their model-axis shards —
+            # without the output constraint XLA may all-gather them once and
+            # emit a replicated carry, losing the memory win on step 2+
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, model_state_shardings(new_state, mesh))
+        return new_state, metrics
 
     # donate the state: params/opt buffers are overwritten every step
     return jax.jit(step, donate_argnums=(0,))
 
 
 def place_auto_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Replicate the full state on the mesh (pool included — the auto path
-    runs one global pool, matching single-device reference semantics)."""
+    """Place the state on the mesh: model-axis sharded (params/opt/EMA on
+    their output-channel shards) when the mesh has a `model` axis, else
+    fully replicated. The pool is replicated either way — the auto path
+    runs one global pool, matching single-device reference semantics."""
+    if _has_axis(mesh, MODEL):
+        specs = model_state_shardings(state, mesh)
+        return jax.tree.map(jax.device_put, state, specs)
     rep = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 

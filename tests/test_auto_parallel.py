@@ -123,3 +123,75 @@ def test_auto_step_bf16_stem_split_runs():
     s2, m = step(state, shard_batch_auto(raw, mesh))
     for k, v in m.items():
         assert np.isfinite(float(v)), k
+
+
+def test_model_axis_matches_single_device():
+    """data x model mesh (tensor/weight parallelism): numerics match the
+    single-device step AND the updated params actually live sharded on the
+    model axis (the memory win is the point)."""
+    cfg = _cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.uniform(rng, (4, 32, 32, 3)) * 2 - 1,
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+        "target_bin": (jnp.arange(4, dtype=jnp.int32) + 1) % 4,
+    }
+    s_single = create_train_state(cfg, G, D, rng, 10)
+    single = jax.jit(make_train_step(cfg, G, D))
+    s1, m1 = single(s_single, batch)
+
+    mesh = make_mesh((2, 2), ("data", "model"))
+    state = place_auto_state(create_train_state(cfg, G, D, rng, 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=False)
+    s2, m2 = step(state, batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3,
+                                   err_msg=k)
+    a = jax.tree_util.tree_leaves(s1.g_params)[0]
+    b = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    # the OUTPUT state keeps its model shards (params, Adam moments, and the
+    # input placement) — each chip holds 1/2 of every shardable tensor
+    def assert_sharded(tree, what):
+        hits = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if leaf.ndim >= 1 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 2:
+                spec = leaf.sharding.spec
+                assert len(spec) and spec[-1] == "model", (what, leaf.shape, spec)
+                shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+                assert shard_shapes == {
+                    (*leaf.shape[:-1], leaf.shape[-1] // 2)}, (what, leaf.shape)
+                hits += 1
+        assert hits > 0, what
+    assert_sharded(s2.g_params, "g_params")
+    assert_sharded(s2.d_params, "d_params")
+    assert_sharded(s2.g_opt, "g_opt")
+
+
+def test_three_axis_mesh_runs_finite():
+    """data x spatial x model (2x2x2) — every parallel dial at once through
+    preprocessing + pool + EMA."""
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((2, 2, 2), ("data", "spatial", "model"))
+    state = place_auto_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=True)
+    raw = shard_batch_auto({
+        "image": jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, (4, 40, 40, 3), dtype=np.uint8)),
+        "bin": jnp.arange(4, dtype=jnp.int32) % 4,
+    }, mesh)
+    s2, m = step(state, raw)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    ema_leaf = jax.tree_util.tree_leaves(s2.ema_params)[0]
+    if ema_leaf.ndim >= 1 and ema_leaf.shape[-1] % 2 == 0:
+        assert ema_leaf.sharding.spec[-1] == "model"

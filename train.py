@@ -163,17 +163,21 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             # scheduler's epoch metric averages the SAME print points the
             # uninterrupted run would have (exact-resume, SURVEY.md SS6)
             resume_losses = _read_host_sidecar(run_dir, int(state.step))
-    if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
-        # data x spatial mesh: GSPMD-partitioned step (XLA inserts conv halo
-        # exchanges; parallel/auto.py) — used when 256px activations need
-        # H-dim sharding. Pool runs global/replicated on this path.
+    if any(ax in mesh.axis_names and mesh.shape[ax] > 1
+           for ax in ("spatial", "model")):
+        # mesh with spatial and/or model axes: GSPMD-partitioned step
+        # (parallel/auto.py) — XLA inserts conv halo exchanges for H-dim
+        # activation sharding and the gather/reduce traffic for model-axis
+        # (tensor/weight) sharded params+optimizer+EMA. Pool runs
+        # global/replicated on this path.
         from pcgan_tpu.parallel.auto import (make_auto_train_step,
                                              place_auto_state)
         state = place_auto_state(state, mesh)
         step_fn = make_auto_train_step(cfg, G, D, C, steps_per_epoch,
                                        mesh=mesh)
-        print(f"GSPMD data x spatial step "
-              f"({mesh.shape['data']}x{mesh.shape['spatial']})", flush=True)
+        print("GSPMD step over mesh "
+              + "x".join(f"{ax}={mesh.shape[ax]}" for ax in mesh.axis_names),
+              flush=True)
     else:
         state = shard_train_state(state, mesh)
         step_fn = make_parallel_train_step(cfg, G, D, C, steps_per_epoch,
