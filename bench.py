@@ -131,10 +131,16 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512) -> float:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def measure_infer(cfg, steps: int, warmup: int = 3) -> float:
+def measure_infer(cfg, steps: int, warmup: int = 3,
+                  serving: bool = False) -> float:
     """Batched G-only inference throughput (the serving-side complement to
     --latency's batch-1 number): one jitted generator forward per dispatch
-    at the training batch size, device_get-synced like every number here."""
+    at the training batch size, device_get-synced like every number here.
+
+    ``serving=True`` measures the AOT StableHLO artifact path instead
+    (pcgan_tpu/serving.py): export once to a temp dir, deserialize, and
+    dispatch ``Exported.call`` on device-resident f32 inputs — what a
+    serving host actually runs."""
     import jax
     import jax.numpy as jnp
     from pcgan_tpu.models import define_G
@@ -150,6 +156,30 @@ def measure_infer(cfg, steps: int, warmup: int = 3) -> float:
         rng.integers(0, cfg.data.n_age_bins, bs)], dt)
     variables = init_params(G, jax.random.PRNGKey(0), x[:1], cond[:1],
                             train=False)
+    if serving:
+        import shutil
+        import tempfile
+        from pcgan_tpu.serving import export_generator, load_exported
+        tmpdir = tempfile.mkdtemp(prefix="pcgan_serving_bench_")
+        try:
+            t0 = time.perf_counter()
+            export_generator(cfg, variables, tmpdir,
+                             platforms=(jax.default_backend(),), G=G)
+            served = load_exported(tmpdir)
+            print(f"# export+load: {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            exported = served._exported
+            xs, cs = x.astype(jnp.float32), cond.astype(jnp.float32)
+            for _ in range(warmup):
+                y = exported.call(xs, cs)
+            _ = float(jax.device_get(y[0, 0, 0, 0]))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                y = exported.call(xs, cs)
+            _ = float(jax.device_get(y[0, 0, 0, 0]))
+            return bs * steps / (time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
     fwd = jax.jit(lambda v, a, c: G.apply(v, a, c, train=False))
     for _ in range(warmup):
         y = fwd(variables, x, cond)
@@ -231,6 +261,10 @@ def main():
     p.add_argument("--infer", action="store_true",
                    help="measure batched G-only inference throughput "
                         "(serving-side complement to --latency)")
+    p.add_argument("--serving", action="store_true",
+                   help="with --infer: measure the AOT StableHLO serving "
+                        "artifact (pcgan_tpu/serving.py) instead of the "
+                        "live jitted model")
     p.add_argument("--e2e", action="store_true",
                    help="end-to-end rate incl. JPEG decode + host->device "
                         "transfer (synthetic on-disk dataset)")
@@ -297,9 +331,11 @@ def main():
         return
 
     if args.infer:
-        value = measure_infer(cfg, max(steps, 20))
+        value = measure_infer(cfg, max(steps, 20), serving=args.serving)
+        tag = "_serving" if args.serving else ""
         print(json.dumps({
-            "metric": f"infer_imgs_per_sec_per_chip_{cfg.data.crop_size}px",
+            "metric": (f"infer_imgs_per_sec_per_chip_"
+                       f"{cfg.data.crop_size}px{tag}"),
             "value": round(value, 2), "unit": "imgs/s/chip",
             "vs_baseline": None,
             "batch": cfg.data.batch_size}))
