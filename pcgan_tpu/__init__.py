@@ -22,7 +22,7 @@ Provenance note: the reference mount was EMPTY in this environment
 paper, not from reference source lines.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 # Lazy re-exports of the public library surface (PEP 562) — keeps
 # `import pcgan_tpu` light (no jax/flax import) while letting library users

@@ -128,6 +128,12 @@ class TrainConfig:
     # saved as {tag}_G_ema — a standard GAN quality lever the sampler can
     # opt into with --use_ema)
     ema_decay: float = 0.0
+    # gradient accumulation (1 = off, the reference's behavior): split each
+    # batch into N sequentially-scanned microbatches inside the jitted step
+    # and apply ONE optimizer update on the averaged grads — batch_size
+    # optimizer semantics at batch_size/N activation memory (an exact-math
+    # alternative to --remat when HBM binds; pcgan_tpu/accum.py)
+    grad_accum: int = 1
     # warm-start G from a G-only checkpoint ("<run_name>/<tag>", resolved
     # under --checkpoints_dir; "<tag>" alone uses the current run name).
     # The reference-migration path: tools/import_pth.py converts a
@@ -281,6 +287,7 @@ _FLAG_MAP = {
     "save_epoch_freq": ("train", "save_epoch_freq"),
     "max_ckpt_keep": ("train", "max_ckpt_keep"),
     "ema_decay": ("train", "ema_decay"),
+    "grad_accum": ("train", "grad_accum"),
     "init_g_from": ("train", "init_g_from"),
     "comparator_path": ("train", "comparator_path"),
     "cmp_eval_frac": ("train", "cmp_eval_frac"),
@@ -327,6 +334,10 @@ _FLAG_HELP = {
     "ema_decay": "keep an EMA twin of G saved as {tag}_G_ema (quality "
                  "lever beyond the reference; 0 = off = reference parity). "
                  "Must match the saved run when resuming",
+    "grad_accum": "split each batch into N scanned microbatches inside the "
+                  "step, ONE optimizer update on averaged grads — same "
+                  "optimizer semantics at 1/N activation memory (exact-math "
+                  "HBM dial beyond the reference; 1 = off)",
     "remat": "rematerialize G resnet/unet blocks in the backward pass "
              "(HBM relief for 256px large batches)",
     "use_ema": "sample from the {tag}_G_ema twin (needs --ema_decay "

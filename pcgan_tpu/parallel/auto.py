@@ -84,8 +84,11 @@ def make_auto_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
     all-reduces from replicated-param + sharded-batch layouts, and the halo
     exchanges from the spatial constraint.
     """
-    inner = make_train_step(cfg, G, D, C, steps_per_epoch, mode,
-                            axis_name=None)
+    if cfg.train.grad_accum > 1:
+        from pcgan_tpu.accum import make_accum_train_step as _builder
+    else:
+        _builder = make_train_step
+    inner = _builder(cfg, G, D, C, steps_per_epoch, mode, axis_name=None)
     pre = make_preprocess(cfg, train=True) if with_preprocess else None
     img_spec = _img_spec(mesh)
     constrain_model = _has_axis(mesh, MODEL)

@@ -99,8 +99,11 @@ def make_parallel_train_step(cfg: Config, G, D, C=None,
     axis 0). With `with_preprocess`, batch = {'image': u8 native, 'bin', ...};
     otherwise images must already be crop-sized floats in [-1, 1].
     """
-    inner = make_train_step(cfg, G, D, C, steps_per_epoch, mode,
-                            axis_name=AXIS)
+    if cfg.train.grad_accum > 1:
+        from pcgan_tpu.accum import make_accum_train_step as _builder
+    else:
+        _builder = make_train_step
+    inner = _builder(cfg, G, D, C, steps_per_epoch, mode, axis_name=AXIS)
     pre = make_preprocess(cfg, train=train_preprocess) if with_preprocess else None
 
     def local_step(state, raw):

@@ -1,0 +1,172 @@
+"""Gradient accumulation (pcgan_tpu/accum.py, ``--grad_accum N``): the
+scanned-microbatch step must EQUAL the fused full-batch step — mean-reduced
+losses make the average of equal-size microbatch gradients the full-batch
+gradient, and the two-phase recompute preserves the reference's sequential
+D-then-G semantics. This equivalence test is the drift guard for the
+deliberate loss-plumbing duplication between train.py and accum.py."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from pcgan_tpu.models.registry import define_D, define_G
+from pcgan_tpu.accum import make_accum_train_step
+from pcgan_tpu.train import create_train_state, make_train_step
+
+
+def _cfg(**train_kw):
+    train_kw = {"pool_size": 0, "lambda_L1": 10.0, "lambda_cond": 0.0,
+                **train_kw}
+    return Config(
+        data=DataConfig(batch_size=8, crop_size=32, load_size=32,
+                        n_age_bins=4, no_flip=True),
+        # bottleneck injection: input injection leaves the stem's cond
+        # channels with structurally-zero grads (the r3 IN-cancellation
+        # finding), whose float noise Adam's first-step sign normalization
+        # amplifies to full update size — equivalence holds but is not
+        # measurable there; bottleneck keeps every grad non-degenerate
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                          dtype="float32", cond_inject="bottleneck"),
+        train=TrainConfig(**train_kw))
+
+
+def _batch(b=8):
+    rng = jax.random.PRNGKey(3)
+    return {
+        "image": jax.random.uniform(rng, (b, 32, 32, 3)) * 2 - 1,
+        "bin": jnp.arange(b, dtype=jnp.int32) % 4,
+        # explicit targets: the fused step draws ONE rng for the whole batch
+        # while accum folds per microbatch — pinning targets removes the
+        # only rng-visible difference (dropout is off, pool disabled)
+        "target_bin": (jnp.arange(b, dtype=jnp.int32) + 1) % 4,
+    }
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_accum_matches_full_batch(accum):
+    cfg = _cfg(grad_accum=accum)
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch()
+
+    s_full = create_train_state(cfg, G, D, rng, 10)
+    full = jax.jit(make_train_step(cfg, G, D))
+    s1, m1 = full(s_full, batch)
+
+    s_acc = create_train_state(cfg, G, D, rng, 10)
+    acc = jax.jit(make_accum_train_step(cfg, G, D))
+    s2, m2 = acc(s_acc, batch)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    # DIRECT gradient equivalence: after one update Adam's first moment is
+    # (1-b1)*grad, so the optimizer trees compare gradients without the
+    # m/sqrt(v) sign normalization that amplifies float-association noise
+    # on near-zero grads into full lr-size param flips
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_opt),
+                    jax.tree_util.tree_leaves(s2.g_opt)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_opt),
+                    jax.tree_util.tree_leaves(s2.d_opt)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-4, atol=1e-5)
+    # params: bounded by the update scale (|update| <= lr); the only
+    # escapes are sign flips on float-noise grads
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_accum_second_step_and_ema():
+    """Two steps with EMA on: trajectories stay glued (compounding check)."""
+    cfg = _cfg(grad_accum=2, ema_decay=0.99)
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(1)
+    batch = _batch()
+    s_full = create_train_state(cfg, G, D, rng, 10)
+    s_acc = create_train_state(cfg, G, D, rng, 10)
+    full = jax.jit(make_train_step(cfg, G, D))
+    acc = jax.jit(make_accum_train_step(cfg, G, D))
+    for _ in range(2):
+        s_full, m1 = full(s_full, batch)
+        s_acc, m2 = acc(s_acc, batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.ema_params),
+                    jax.tree_util.tree_leaves(s_acc.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_accum_under_shard_map_matches_single_device():
+    """grad_accum composes with DP: the 8-way sharded accum step equals the
+    single-device full-batch step (each shard scans its local microbatches;
+    pmean averages across the axis)."""
+    from pcgan_tpu.parallel import make_parallel_train_step, shard_train_state
+    from pcgan_tpu.parallel.mesh import make_mesh
+    cfg = dataclasses.replace(_cfg(grad_accum=2),
+                              data=DataConfig(batch_size=16, crop_size=32,
+                                              load_size=32, n_age_bins=4,
+                                              no_flip=True))
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(16)
+
+    s_single = create_train_state(cfg, G, D, rng, 10)
+    single = jax.jit(make_train_step(cfg, G, D))
+    s1, m1 = single(s_single, batch)
+
+    mesh = make_mesh((8,), ("data",))
+    state = shard_train_state(create_train_state(cfg, G, D, rng, 10), mesh)
+    step = make_parallel_train_step(cfg, G, D, mesh=mesh, steps_per_epoch=10,
+                                    with_preprocess=False)
+    s2, m2 = step(state, batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                   err_msg=k)
+    a = jax.tree_util.tree_leaves(s1.g_params)[0]
+    b = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_accum_with_pool_runs_finite():
+    """Pool semantics under accumulation (N sequential sub-queries instead
+    of one batch query — documented difference): runs, updates, finite."""
+    cfg = _cfg(grad_accum=2, pool_size=8)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_accum_train_step(cfg, G, D))
+    batch = _batch()
+    state, m = step(state, batch)
+    state, m = step(state, batch)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 2
+
+
+def test_accum_rejects_indivisible_batch():
+    cfg = _cfg(grad_accum=3)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = make_accum_train_step(cfg, G, D)
+    with pytest.raises(ValueError, match="divisible by --grad_accum"):
+        jax.jit(step)(state, _batch(8))
+
+
+def test_builder_rejects_accum_one():
+    cfg = _cfg(grad_accum=1)
+    G, D = define_G(cfg), define_D(cfg)
+    with pytest.raises(ValueError, match="grad_accum >= 2"):
+        make_accum_train_step(cfg, G, D)

@@ -215,3 +215,60 @@ def test_cli_export_verify(tmp_path):
     assert os.path.isfile(str(tmp_path / "srv" / "generator.stablehlo"))
     meta = json.loads((tmp_path / "srv" / "meta.json").read_text())
     assert meta["netG"] == "resnet_6blocks" and meta["fixed_batch"] is None
+
+
+def test_http_server_roundtrip(tmp_path):
+    """tools/serve_http.py: the stdlib serving host over an artifact —
+    /healthz, /generate, /progression, and a malformed request."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.request
+    import urllib.error
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from pcgan_tpu.serving import export_generator, load_exported
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = jsonlib.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["meta"]["crop_size"] == cfg.data.crop_size
+
+        imgs, cond = _rand_inputs(cfg, 3)
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs, cond=cond)
+        req = urllib.request.Request(f"{base}/generate", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = np.load(io.BytesIO(r.read()))
+        want = load_exported(str(tmp_path))(imgs, cond)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs[:2])
+        req = urllib.request.Request(f"{base}/progression",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            grid = np.load(io.BytesIO(r.read()))
+        assert grid.shape == (2, cfg.data.n_age_bins, 32, 32, 3)
+
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs)            # missing 'cond'
+        req = urllib.request.Request(f"{base}/generate", data=buf.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
