@@ -152,8 +152,11 @@ def measure_infer(cfg, steps: int, warmup: int = 3,
     bs = cfg.data.batch_size
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((bs, s, s, cfg.data.input_nc)), dt)
-    cond = jnp.asarray(np.eye(cfg.data.n_age_bins)[
-        rng.integers(0, cfg.data.n_age_bins, bs)], dt)
+    if cfg.cond_nc == cfg.data.n_age_bins:      # onehot conditioning
+        cond = jnp.asarray(np.eye(cfg.data.n_age_bins)[
+            rng.integers(0, cfg.data.n_age_bins, bs)], dt)
+    else:                                       # score mode: (B, 1) in [-1,1]
+        cond = jnp.asarray(rng.uniform(-1, 1, (bs, cfg.cond_nc)), dt)
     variables = init_params(G, jax.random.PRNGKey(0), x[:1], cond[:1],
                             train=False)
     if serving:
@@ -283,6 +286,8 @@ def main():
     p.add_argument("--size", type=int, default=128)
     args = p.parse_args()
 
+    if args.serving and not args.infer:
+        p.error("--serving modifies --infer; pass both")
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
     from pcgan_tpu.platform import respect_env_platform

@@ -259,7 +259,10 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                     sums[1] + l_gan.astype(jnp.float32),
                     sums[2] + l_l1.astype(jnp.float32),
                     sums[3] + l_cond.astype(jnp.float32))
-            return (g_gsum, g_state, sums), None
+            # thread the UPDATED norm state: phase B's microbatch i must see
+            # the same mutable collections phase A's microbatch i saw, or
+            # the recomputed fakes drift from the ones D trained against
+            return (g_gsum, new_g_state, sums), None
 
         zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
         (g_gsum, _, g_sums), _ = jax.lax.scan(

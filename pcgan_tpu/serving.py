@@ -133,6 +133,11 @@ class ServedGenerator:
             raise ValueError(
                 f"batch mismatch: images {images.shape[0]} vs cond "
                 f"{cond.shape[0]}")
+        if images.shape[0] == 0:
+            # natural empty result: the symbolic dim rejects b=0 and the
+            # fixed-batch chunker would concatenate nothing
+            return np.zeros((0, *images.shape[1:-1],
+                             int(self.meta["output_nc"])), np.float32)
         fb = self.meta.get("fixed_batch")
         if fb is None:
             return np.asarray(self._exported.call(images, cond))

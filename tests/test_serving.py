@@ -182,6 +182,10 @@ def test_input_validation(tmp_path):
         served(imgs, cond[:1])
     with pytest.raises(ValueError, match=r"\(B,H,W,C\)"):
         served(imgs[0], cond)
+    # empty batch: natural empty result (the symbolic dim itself rejects
+    # b=0 and the fixed-batch chunker would have nothing to concatenate)
+    out = served(imgs[:0], cond[:0])
+    assert out.shape == (0, 32, 32, 3) and out.dtype == np.float32
 
 
 def test_cli_export_verify(tmp_path):

@@ -98,6 +98,10 @@ def make_server(artifact_dir: str, host: str, port: int):
                 self._reply(200, _npy_bytes(out), "application/octet-stream")
             except (KeyError, ValueError, OSError) as e:
                 self._json(400, {"error": str(e)})
+            except Exception as e:   # device OOM / runtime failures: a
+                # keep-alive client must still get a status line, not a
+                # dead connection
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler), served
 
