@@ -123,8 +123,7 @@ class ServedGenerator:
         self.meta = dict(meta)
 
     # -- call ---------------------------------------------------------------
-    def __call__(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
-        import jax
+    def _validate(self, images, cond):
         images = np.asarray(images, np.float32)
         cond = np.asarray(cond, np.float32)
         if images.ndim != 4 or cond.ndim != 2:
@@ -133,11 +132,18 @@ class ServedGenerator:
             raise ValueError(
                 f"batch mismatch: images {images.shape[0]} vs cond "
                 f"{cond.shape[0]}")
+        return images, cond
+
+    def _empty(self, images):
+        # natural empty result: the symbolic dim rejects b=0 and the
+        # fixed-batch chunker would concatenate nothing
+        return np.zeros((0, *images.shape[1:-1],
+                         int(self.meta["output_nc"])), np.float32)
+
+    def __call__(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        images, cond = self._validate(images, cond)
         if images.shape[0] == 0:
-            # natural empty result: the symbolic dim rejects b=0 and the
-            # fixed-batch chunker would concatenate nothing
-            return np.zeros((0, *images.shape[1:-1],
-                             int(self.meta["output_nc"])), np.float32)
+            return self._empty(images)
         fb = self.meta.get("fixed_batch")
         if fb is None:
             return np.asarray(self._exported.call(images, cond))
@@ -174,6 +180,45 @@ class ServedGenerator:
         c = np.tile(conds, (b, 1))
         fakes = self(x, c)
         return fakes.reshape(b, nb, *fakes.shape[1:])
+
+    # -- multi-device serving -------------------------------------------------
+    def data_parallel(self, mesh=None):
+        """Multi-chip serving from the same artifact: returns a callable
+        ``(images, cond) -> fakes`` that shard_maps the exported module over
+        the mesh's first axis — each device runs the module on its batch
+        shard, XLA scatters/gathers over ICI. Ragged batches pad to a
+        multiple of the axis size (result sliced back). Requires a
+        symbolic-batch artifact (the per-device shard size varies)."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+        if self.meta.get("fixed_batch") is not None:
+            raise ValueError(
+                "data_parallel needs a symbolic-batch artifact (export "
+                "without --fixed_batch)")
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        ax = mesh.axis_names[0]
+        n = int(mesh.shape[ax])
+        exported = self._exported
+        sharded = jax.jit(shard_map(
+            lambda x, c: exported.call(x, c), mesh=mesh,
+            in_specs=(P(ax), P(ax)), out_specs=P(ax)))
+
+        def call(images, cond):
+            images, cond = self._validate(images, cond)
+            b = images.shape[0]
+            if b == 0:
+                return self._empty(images)
+            pad = (-b) % n
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+                cond = np.concatenate(
+                    [cond, np.repeat(cond[-1:], pad, axis=0)], axis=0)
+            return np.asarray(sharded(images, cond))[:b]
+
+        return call
 
 
 def load_exported(out_dir: str) -> ServedGenerator:

@@ -276,3 +276,25 @@ def test_http_server_roundtrip(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_data_parallel_serving(tmp_path):
+    """Multi-chip serving: shard_map of the exported module over the 8-dev
+    mesh equals the single-device call; ragged batches pad + slice; fixed-
+    batch artifacts are rejected (per-device shard size varies)."""
+    from pcgan_tpu.serving import export_generator, load_exported
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path / "sym"), G=G)
+    served = load_exported(str(tmp_path / "sym"))
+    dp = served.data_parallel()
+    imgs, cond = _rand_inputs(cfg, 12)     # ragged: pads 12 -> 16 on 8 devs
+    got = dp(imgs, cond)
+    want = served(imgs, cond)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert dp(imgs[:0], cond[:0]).shape == (0, 32, 32, 3)
+
+    export_generator(cfg, v, str(tmp_path / "fix"), G=G, fixed_batch=4)
+    fixed = load_exported(str(tmp_path / "fix"))
+    with pytest.raises(ValueError, match="symbolic-batch"):
+        fixed.data_parallel()
