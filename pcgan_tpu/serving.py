@@ -31,9 +31,11 @@ from typing import Any, Optional, Sequence
 
 import numpy as np
 
-_ARTIFACT = "generator.stablehlo"
 _META = "meta.json"
 _FORMAT = "pcgan_tpu.serving/1"
+_ARTIFACTS = {"generator": "generator.stablehlo",
+              "comparator": "comparator.stablehlo"}
+_ARTIFACT = _ARTIFACTS["generator"]
 
 
 def make_infer_fn(cfg, G):
@@ -86,6 +88,7 @@ def export_generator(cfg, g_variables, out_dir: str,
         f.write(exported.serialize())
     meta = {
         "format": _FORMAT,
+        "kind": "generator",
         "platforms": list(platforms),
         "fixed_batch": fixed_batch,
         "crop_size": s,
@@ -107,6 +110,93 @@ def export_generator(cfg, g_variables, out_dir: str,
 def _define_g(cfg):
     from pcgan_tpu.models import define_G
     return define_G(cfg)
+
+
+def export_comparator(cfg, c_vars, out_dir: str,
+                      platforms: Sequence[str] = ("tpu", "cpu"),
+                      fixed_batch: Optional[int] = None,
+                      C: Any = None) -> str:
+    """Scoring-as-a-service: serialize the pretrained comparator to
+    ``out_dir/comparator.stablehlo`` — f32 [-1,1] NHWC images ->
+    (mu, log_var) f32 scores with uncertainty. The deployable twin of
+    tools/sort_unlabeled.py (SURVEY.md SS4.3: the comparator 'sorts'
+    unlabeled data); a labeling fleet can score pools without the model
+    code or training stack."""
+    import jax
+    import jax.numpy as jnp
+
+    if C is None:
+        from pcgan_tpu.models import define_C
+        C = define_C(cfg)
+    compute_dtype = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                     else jnp.float32)
+
+    def serve(images):
+        mu, log_var = C.apply(c_vars, images.astype(compute_dtype),
+                              train=False)
+        return mu.astype(jnp.float32), log_var.astype(jnp.float32)
+
+    s = cfg.data.crop_size
+    if fixed_batch is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = int(fixed_batch)
+    img_spec = jax.ShapeDtypeStruct((b, s, s, cfg.data.input_nc), jnp.float32)
+    exported = jax.export.export(
+        jax.jit(serve), platforms=list(platforms))(img_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, _ARTIFACTS["comparator"])
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "format": _FORMAT,
+        "kind": "comparator",
+        "platforms": list(platforms),
+        "fixed_batch": fixed_batch,
+        "crop_size": s,
+        "input_nc": cfg.data.input_nc,
+        "compute_dtype": cfg.model.dtype,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return path
+
+
+class ServedComparator:
+    """A loaded comparator artifact: ``__call__(images) -> (mu, log_var)``;
+    ``score(images) -> mu``. Fixed-batch artifacts pad + slice like the
+    generator's."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = dict(meta)
+
+    def __call__(self, images: np.ndarray):
+        images = np.asarray(images, np.float32)
+        if images.ndim != 4:
+            raise ValueError("expected images (B,H,W,C)")
+        b = images.shape[0]
+        if b == 0:
+            return (np.zeros((0,), np.float32), np.zeros((0,), np.float32))
+        fb = self.meta.get("fixed_batch")
+        if fb is None:
+            mu, log_var = self._exported.call(images)
+            return np.asarray(mu), np.asarray(log_var)
+        mus, lvs = [], []
+        for at in range(0, b, fb):
+            chunk = images[at:at + fb]
+            k = chunk.shape[0]
+            if k < fb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], fb - k, axis=0)], axis=0)
+            mu, lv = self._exported.call(chunk)
+            mus.append(np.asarray(mu)[:k])
+            lvs.append(np.asarray(lv)[:k])
+        return np.concatenate(mus), np.concatenate(lvs)
+
+    def score(self, images: np.ndarray) -> np.ndarray:
+        return self(images)[0]
 
 
 class ServedGenerator:
@@ -221,22 +311,32 @@ class ServedGenerator:
         return call
 
 
-def load_exported(out_dir: str) -> ServedGenerator:
-    """Load an exported artifact directory. Raises with a clear message on a
-    missing/foreign directory."""
+def load_exported(out_dir: str):
+    """Load an exported artifact directory -> ServedGenerator or
+    ServedComparator (by the meta's ``kind``). Raises with a clear message
+    on a missing/foreign directory."""
     import jax
     meta_path = os.path.join(out_dir, _META)
-    art_path = os.path.join(out_dir, _ARTIFACT)
-    if not (os.path.isfile(meta_path) and os.path.isfile(art_path)):
+    if not os.path.isfile(meta_path):
         raise FileNotFoundError(
             f"{out_dir} is not a pcgan_tpu serving export (need {_META} + "
-            f"{_ARTIFACT}; produce one with tools/export_serving.py)")
+            f"a .stablehlo artifact; produce one with "
+            f"tools/export_serving.py)")
     with open(meta_path) as f:
         meta = json.load(f)
     if not isinstance(meta, dict) or meta.get("format") != _FORMAT:
         raise ValueError(
             f"{meta_path}: unsupported format {meta.get('format')!r} "
             f"(expected {_FORMAT!r})")
+    kind = meta.get("kind", "generator")
+    if kind not in _ARTIFACTS:
+        raise ValueError(f"{meta_path}: unknown artifact kind {kind!r}")
+    art_path = os.path.join(out_dir, _ARTIFACTS[kind])
+    if not os.path.isfile(art_path):
+        raise FileNotFoundError(
+            f"{out_dir}: meta names a {kind} artifact but "
+            f"{_ARTIFACTS[kind]} is missing")
     with open(art_path, "rb") as f:
         exported = jax.export.deserialize(f.read())
-    return ServedGenerator(exported, meta)
+    cls = ServedComparator if kind == "comparator" else ServedGenerator
+    return cls(exported, meta)

@@ -298,3 +298,39 @@ def test_data_parallel_serving(tmp_path):
     fixed = load_exported(str(tmp_path / "fix"))
     with pytest.raises(ValueError, match="symbolic-batch"):
         fixed.data_parallel()
+
+
+def test_comparator_export(tmp_path):
+    """Comparator scoring-as-a-service: kind-dispatched load, live parity,
+    empty batch, fixed-batch chunking."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_C
+    from pcgan_tpu.serving import (ServedComparator, export_comparator,
+                                   load_exported)
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, cmp_nf=8, cmp_n_down=2))
+    C = define_C(cfg)
+    v = C.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)),
+               train=False)
+    export_comparator(cfg, v, str(tmp_path / "sym"), C=C)
+    served = load_exported(str(tmp_path / "sym"))
+    assert isinstance(served, ServedComparator)
+    assert served.meta["kind"] == "comparator"
+
+    imgs, _ = _rand_inputs(cfg, 5)
+    mu, log_var = served(imgs)
+    want_mu, want_lv = C.apply(v, jnp.asarray(imgs), train=False)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), atol=2e-5)
+    np.testing.assert_allclose(log_var, np.asarray(want_lv), atol=2e-5)
+    np.testing.assert_allclose(served.score(imgs), mu)
+
+    mu0, lv0 = served(imgs[:0])
+    assert mu0.shape == (0,) and lv0.shape == (0,)
+
+    export_comparator(cfg, v, str(tmp_path / "fix"), C=C, fixed_batch=2)
+    fixed = load_exported(str(tmp_path / "fix"))
+    mu2, _ = fixed(imgs)                     # 5 -> 2 + 2 + padded 1
+    np.testing.assert_allclose(mu2, np.asarray(want_mu), atol=2e-5)

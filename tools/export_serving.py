@@ -32,7 +32,8 @@ sys.path.insert(0, _ROOT)
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("--name", required=True)
+    p.add_argument("--name", default=None,
+                   help="run name (required unless --comparator_path)")
     p.add_argument("--checkpoints_dir", default="./checkpoints")
     p.add_argument("--tag", default="latest")
     p.add_argument("--use_ema", action="store_true",
@@ -49,6 +50,13 @@ def main(argv=None):
                    help="round-trip the artifact vs the live model on "
                         "random inputs (needs a platform from --platforms "
                         "available locally)")
+    p.add_argument("--comparator_path", default=None,
+                   help="export the pretrained COMPARATOR at this "
+                        "checkpoints-style dir instead of a generator "
+                        "(scoring-as-a-service; --name/--tag/--use_ema "
+                        "ignored)")
+    p.add_argument("--cmp_nf", type=int, default=64)
+    p.add_argument("--cmp_n_down", type=int, default=4)
     p.add_argument("--netG", default="resnet_9blocks")
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--norm", default="instance")
@@ -69,12 +77,51 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from pcgan_tpu.models import define_G
     from pcgan_tpu.models.registry import init_params
     from pcgan_tpu.serving import export_generator, load_exported
     from pcgan_tpu.utils import checkpoint as ckpt
 
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+
+    if args.comparator_path:
+        from pcgan_tpu.eval_lib import load_comparator_bundle
+        from pcgan_tpu.serving import export_comparator
+        cfg = Config(
+            data=DataConfig(crop_size=args.crop_size,
+                            n_age_bins=args.n_age_bins,
+                            input_nc=args.input_nc),
+            model=ModelConfig(cmp_nf=args.cmp_nf, cmp_n_down=args.cmp_n_down,
+                              dtype=args.dtype),
+            train=TrainConfig(comparator_path=args.comparator_path))
+        C, c_vars, _, _, _ = load_comparator_bundle(cfg)
+        out_dir = args.out_dir or os.path.join(args.comparator_path,
+                                               "serving")
+        path = export_comparator(cfg, c_vars, out_dir, platforms=platforms,
+                                 fixed_batch=args.fixed_batch, C=C)
+        print(f"exported comparator -> {path} "
+              f"({os.path.getsize(path) / 1e6:.1f} MB, "
+              f"platforms={platforms})", flush=True)
+        if args.verify:
+            served = load_exported(out_dir)
+            b = args.fixed_batch or 3
+            imgs = np.random.default_rng(0).uniform(
+                -1, 1, (b, args.crop_size, args.crop_size,
+                        args.input_nc)).astype(np.float32)
+            mu, _ = served(imgs)
+            dt = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+            want = np.asarray(
+                C.apply(c_vars, jnp.asarray(imgs, dt), train=False)[0],
+                np.float32)
+            err = float(np.abs(mu - want).max())
+            print(f"verify: max|exported - live| = {err:.2e}", flush=True)
+            if not np.isfinite(err) or err > 5e-2:
+                raise SystemExit("verification FAILED")
+        return
+
+    if not args.name:
+        raise SystemExit("--name is required (or pass --comparator_path)")
     cfg = Config(
         data=DataConfig(crop_size=args.crop_size, n_age_bins=args.n_age_bins,
                         input_nc=args.input_nc, output_nc=args.output_nc),
@@ -93,7 +140,6 @@ def main(argv=None):
     if out_dir is None:
         out_dir = os.path.join(args.checkpoints_dir, args.name,
                                "serving_ema" if args.use_ema else "serving")
-    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
     path = export_generator(cfg, g_vars, out_dir, platforms=platforms,
                             fixed_batch=args.fixed_batch,
                             ema_source=args.use_ema, G=G)
