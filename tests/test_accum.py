@@ -170,3 +170,24 @@ def test_builder_rejects_accum_one():
     G, D = define_G(cfg), define_D(cfg)
     with pytest.raises(ValueError, match="grad_accum >= 2"):
         make_accum_train_step(cfg, G, D)
+
+
+def test_accum_under_model_axis_mesh():
+    """grad_accum composes with the GSPMD model (tensor/weight) axis: the
+    auto step builder selects the accum inner step too."""
+    from pcgan_tpu.parallel.auto import (make_auto_train_step,
+                                         place_auto_state)
+    from pcgan_tpu.parallel.mesh import make_mesh
+    cfg = _cfg(grad_accum=2)
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((2, 2), ("data", "model"))
+    state = place_auto_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_auto_train_step(cfg, G, D, steps_per_epoch=10, mesh=mesh,
+                                with_preprocess=False)
+    s2, m = step(state, _batch(8))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    kern = next(le for le in jax.tree_util.tree_leaves(s2.g_params)
+                if le.ndim == 4 and le.shape[-1] % 2 == 0)
+    assert kern.sharding.spec[-1] == "model"
