@@ -334,3 +334,60 @@ def test_comparator_export(tmp_path):
     fixed = load_exported(str(tmp_path / "fix"))
     mu2, _ = fixed(imgs)                     # 5 -> 2 + 2 + padded 1
     np.testing.assert_allclose(mu2, np.asarray(want_mu), atol=2e-5)
+
+
+def test_http_server_request_coalescing(tmp_path):
+    """--batch_window_ms: concurrent requests fuse into fewer device
+    dispatches, every caller still gets ITS rows back, and a malformed
+    request 400s alone without poisoning the fused batch."""
+    import concurrent.futures as cf
+    import io
+    import sys
+    import threading
+    import urllib.error
+    import urllib.request
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from pcgan_tpu.serving import export_generator, load_exported
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, served = serve_http.make_server(str(tmp_path), "127.0.0.1", 0,
+                                           batch_window_ms=150.0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    direct = load_exported(str(tmp_path))
+    # warm the bucket shapes so the timing window isn't dominated by compile
+    direct(*_rand_inputs(cfg, 8))
+
+    def post(i):
+        imgs, cond = _rand_inputs(cfg, 1 + (i % 3), seed=i)
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs, cond=cond)
+        req = urllib.request.Request(f"{base}/generate", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return imgs, cond, np.load(io.BytesIO(r.read()))
+
+    try:
+        with cf.ThreadPoolExecutor(6) as ex:
+            results = list(ex.map(post, range(6)))
+        for imgs, cond, got in results:
+            np.testing.assert_allclose(got, direct(imgs, cond), atol=1e-5)
+        # 6 concurrent requests within the 150 ms window -> the batcher
+        # must have fused at least some (strictly fewer dispatches)
+        assert 0 < httpd.batcher.dispatches < 6
+
+        bad = io.BytesIO()
+        np.savez(bad, images=np.zeros((2, 8, 8, 3), np.float32),
+                 cond=np.eye(4, dtype=np.float32)[:2])   # wrong H,W
+        req = urllib.request.Request(f"{base}/generate", data=bad.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -16,9 +16,11 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
 Payloads are numpy's own serialization (np.savez/np.load,
 allow_pickle=False — no code execution path). Dispatch is serialized
 through a lock: one accelerator, one compiled program; HTTP threads only
-overlap parsing/IO. The symbolic-batch artifact compiles once per distinct
-request batch size — latency-critical fleets should export with
-``--fixed_batch`` (requests then pad + slice to one compiled shape).
+overlap parsing/IO. ``--batch_window_ms W`` turns on request coalescing:
+concurrent requests within the window fuse into ONE device dispatch,
+padded to power-of-two buckets (bounded compiled-shape count — at most
+log2(max_batch) sizes). Latency-critical fleets can instead export with
+``--fixed_batch`` (requests pad + slice to one compiled shape).
 
 Demo/reference implementation: no TLS/auth (binds 127.0.0.1 by default).
 """
@@ -31,6 +33,7 @@ import json
 import os
 import sys
 import threading
+import time
 
 import numpy as np
 
@@ -52,12 +55,107 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def make_server(artifact_dir: str, host: str, port: int):
+class Batcher:
+    """Request coalescing: concurrent /generate and /progression calls that
+    arrive within ``window_ms`` fuse into ONE device dispatch (the batch
+    dimension is free on the MXU; per-dispatch overhead is not). Fused
+    batches pad up to power-of-two buckets so a symbolic-batch artifact
+    compiles at most log2(max_batch) shapes instead of one per distinct
+    request-mix size."""
+
+    def __init__(self, served, window_ms: float, max_batch: int = 256):
+        self._served = served
+        self._window = window_ms / 1e3
+        self._max = max_batch
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._queue = []                    # (images, cond, event, slot)
+        self.dispatches = 0                 # device-call counter (stats)
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        ev = threading.Event()
+        slot = {}
+        with self._cv:
+            self._queue.append((images, cond, ev, slot))
+            self._cv.notify()
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, max(self._max, n))
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            time.sleep(self._window)        # coalescing window
+            with self._cv:
+                batch, self._queue = (self._queue[:self._max],
+                                      self._queue[self._max:])
+            sizes = [b[0].shape[0] for b in batch]
+            try:
+                imgs = np.concatenate([b[0] for b in batch], axis=0)
+                conds = np.concatenate([b[1] for b in batch], axis=0)
+                n = imgs.shape[0]
+                pad = self._bucket(n) - n
+                if pad:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+                    conds = np.concatenate(
+                        [conds, np.repeat(conds[-1:], pad, axis=0)], axis=0)
+                out = self._served(imgs, conds)[:n]
+                self.dispatches += 1
+                at = 0
+                for (_, _, ev, slot), k in zip(batch, sizes):
+                    slot["out"] = out[at:at + k]
+                    at += k
+                    ev.set()
+            except Exception as e:
+                for _, _, ev, slot in batch:
+                    slot["err"] = e
+                    ev.set()
+
+
+def _precheck(images: np.ndarray, cond: np.ndarray, meta: dict):
+    """Per-request validation BEFORE coalescing: a malformed request must
+    400 alone, not poison the fused batch it would ride in."""
+    s, in_nc = int(meta["crop_size"]), int(meta["input_nc"])
+    if images.ndim != 4 or images.shape[1:] != (s, s, in_nc):
+        raise ValueError(
+            f"images must be (B,{s},{s},{in_nc}); got {images.shape}")
+    if cond.ndim != 2 or cond.shape[1] != int(meta["cond_nc"]):
+        raise ValueError(
+            f"cond must be (B,{meta['cond_nc']}); got {cond.shape}")
+    if images.shape[0] != cond.shape[0]:
+        raise ValueError(f"batch mismatch: images {images.shape[0]} vs "
+                         f"cond {cond.shape[0]}")
+    if images.shape[0] == 0:
+        raise ValueError("empty request batch")
+
+
+def make_server(artifact_dir: str, host: str, port: int,
+                batch_window_ms: float = 0.0):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from pcgan_tpu.serving import load_exported
 
     served = load_exported(artifact_dir)
     lock = threading.Lock()
+    batcher = (Batcher(served, batch_window_ms)
+               if batch_window_ms > 0 else None)
+
+    def dispatch(images, cond):
+        if batcher is not None:
+            _precheck(images, cond, served.meta)
+            return batcher.submit(images, cond)
+        with lock:
+            return served(images, cond)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -87,12 +185,21 @@ def make_server(artifact_dir: str, host: str, port: int):
                 body = self.rfile.read(n)
                 if self.path == "/generate":
                     images, cond = _load_npz(body, "images", "cond")
-                    with lock:
-                        out = served(images, cond)
+                    out = dispatch(images, cond)
                 elif self.path == "/progression":
                     (images,) = _load_npz(body, "images")
-                    with lock:
-                        out = served.progression(images)
+                    if batcher is None:
+                        with lock:
+                            out = served.progression(images)
+                    else:
+                        # tile here so the grid rides the SAME fused batch
+                        conds = served.all_conditions()
+                        nb, b = conds.shape[0], images.shape[0]
+                        fakes = dispatch(
+                            np.repeat(np.asarray(images, np.float32),
+                                      nb, axis=0),
+                            np.tile(conds, (b, 1)))
+                        out = fakes.reshape(b, nb, *fakes.shape[1:])
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
                 self._reply(200, _npy_bytes(out), "application/octet-stream")
@@ -103,7 +210,9 @@ def make_server(artifact_dir: str, host: str, port: int):
                 # dead connection
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler), served
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.batcher = batcher            # introspection (stats/tests)
+    return httpd, served
 
 
 def main(argv=None):
@@ -112,6 +221,10 @@ def main(argv=None):
                    help="directory from tools/export_serving.py")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent requests arriving within this "
+                        "window into one device dispatch, padded to "
+                        "power-of-two buckets (0 = serialize requests)")
     p.add_argument("--warmup_batch", type=int, default=0,
                    help="compile a batch of this size before accepting "
                         "traffic (0 = skip)")
@@ -120,7 +233,8 @@ def main(argv=None):
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
 
-    httpd, served = make_server(args.artifact_dir, args.host, args.port)
+    httpd, served = make_server(args.artifact_dir, args.host, args.port,
+                                batch_window_ms=args.batch_window_ms)
     if args.warmup_batch > 0:
         m = served.meta
         b, s = args.warmup_batch, int(m["crop_size"])
