@@ -82,6 +82,7 @@ def export_generator(cfg, g_variables, out_dir: str,
     exported = jax.export.export(
         jax.jit(serve), platforms=list(platforms))(img_spec, cond_spec)
 
+    _guard_out_dir(out_dir, "generator")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, _ARTIFACT)
     with open(path, "wb") as f:
@@ -110,6 +111,25 @@ def export_generator(cfg, g_variables, out_dir: str,
 def _define_g(cfg):
     from pcgan_tpu.models import define_G
     return define_G(cfg)
+
+
+def _guard_out_dir(out_dir: str, kind: str):
+    """Refuse to repoint an existing export dir at a DIFFERENT artifact
+    kind — overwriting meta.json would silently orphan the other artifact
+    and break every host serving the directory."""
+    meta_path = os.path.join(out_dir, _META)
+    if not os.path.isfile(meta_path):
+        return
+    try:
+        with open(meta_path) as f:
+            old = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return
+    old_kind = old.get("kind", "generator") if isinstance(old, dict) else None
+    if old_kind is not None and old_kind != kind:
+        raise ValueError(
+            f"{out_dir} already holds a {old_kind} export; write the "
+            f"{kind} to a separate out_dir")
 
 
 def export_comparator(cfg, c_vars, out_dir: str,
@@ -145,6 +165,7 @@ def export_comparator(cfg, c_vars, out_dir: str,
     exported = jax.export.export(
         jax.jit(serve), platforms=list(platforms))(img_spec)
 
+    _guard_out_dir(out_dir, "comparator")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, _ARTIFACTS["comparator"])
     with open(path, "wb") as f:
@@ -261,14 +282,20 @@ class ServedGenerator:
             return np.linspace(-1.0, 1.0, nb, dtype=np.float32)[:, None]
         return np.eye(nb, dtype=np.float32)
 
-    def progression(self, images: np.ndarray) -> np.ndarray:
+    def progression(self, images: np.ndarray, call=None) -> np.ndarray:
+        """Aging grid (B, n_conditions, H, W, C). ``call`` overrides the
+        generator invocation (e.g. a serving host's coalescing dispatch)
+        so the repeat/tile pairing has ONE source of truth."""
+        call = self if call is None else call
         images = np.asarray(images, np.float32)
+        if images.ndim != 4:
+            raise ValueError("expected images (B,H,W,C)")
         conds = self.all_conditions()
         nb = conds.shape[0]
         b = images.shape[0]
         x = np.repeat(images, nb, axis=0)
         c = np.tile(conds, (b, 1))
-        fakes = self(x, c)
+        fakes = call(x, c)
         return fakes.reshape(b, nb, *fakes.shape[1:])
 
     # -- multi-device serving -------------------------------------------------

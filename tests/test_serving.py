@@ -359,8 +359,10 @@ def test_http_server_request_coalescing(tmp_path):
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{port}"
     direct = load_exported(str(tmp_path))
-    # warm the bucket shapes so the timing window isn't dominated by compile
-    direct(*_rand_inputs(cfg, 8))
+    # warm the SERVER's artifact at the power-of-two bucket sizes fused
+    # cohorts can land on, so no coalescing window stalls on a compile
+    for b in (2, 4, 8, 16):
+        served(*_rand_inputs(cfg, b))
 
     def post(i):
         imgs, cond = _rand_inputs(cfg, 1 + (i % 3), seed=i)
@@ -391,3 +393,33 @@ def test_http_server_request_coalescing(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_export_dir_kind_guard(tmp_path):
+    """Exporting a different artifact kind into an existing export dir must
+    refuse (overwriting meta.json orphans the other artifact); serve_http
+    refuses non-generator artifacts at startup."""
+    import dataclasses
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_C
+    from pcgan_tpu.serving import export_comparator, export_generator
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    ccfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, cmp_nf=8, cmp_n_down=2))
+    C = define_C(ccfg)
+    cv = C.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)),
+                train=False)
+    with pytest.raises(ValueError, match="already holds a generator"):
+        export_comparator(ccfg, cv, str(tmp_path), C=C)
+    export_comparator(ccfg, cv, str(tmp_path / "cmp"), C=C)
+    with pytest.raises(ValueError, match="already holds a comparator"):
+        export_generator(cfg, v, str(tmp_path / "cmp"), G=G)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    with pytest.raises(ValueError, match="comparator artifact"):
+        serve_http.make_server(str(tmp_path / "cmp"), "127.0.0.1", 0)

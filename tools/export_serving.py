@@ -62,10 +62,13 @@ def main(argv=None):
     p.add_argument("--norm", default="instance")
     p.add_argument("--cond_inject", default="input")
     p.add_argument("--cond_mode", default="onehot", choices=["onehot", "score"])
-    p.add_argument("--dtype", default="bfloat16",
+    p.add_argument("--dtype", default=None,
                    choices=["bfloat16", "float32"],
                    help="compute dtype INSIDE the artifact (call contract "
-                        "stays f32 either way)")
+                        "stays f32 either way). Default: bfloat16 for the "
+                        "generator (perf path); float32 for --comparator_path "
+                        "(scoring ranks near-ties — matches "
+                        "tools/sort_unlabeled.py exactly)")
     p.add_argument("--crop_size", type=int, default=128)
     p.add_argument("--n_age_bins", type=int, default=10)
     p.add_argument("--input_nc", type=int, default=3)
@@ -88,6 +91,9 @@ def main(argv=None):
     if args.comparator_path:
         from pcgan_tpu.eval_lib import load_comparator_bundle
         from pcgan_tpu.serving import export_comparator
+        # f32 default: scoring ranks near-tied pairs, and the deployable
+        # twin (tools/sort_unlabeled.py) scores in exact f32 lowerings
+        args.dtype = args.dtype or "float32"
         cfg = Config(
             data=DataConfig(crop_size=args.crop_size,
                             n_age_bins=args.n_age_bins,
@@ -122,6 +128,7 @@ def main(argv=None):
 
     if not args.name:
         raise SystemExit("--name is required (or pass --comparator_path)")
+    args.dtype = args.dtype or "bfloat16"   # generator perf-path default
     cfg = Config(
         data=DataConfig(crop_size=args.crop_size, n_age_bins=args.n_age_bins,
                         input_nc=args.input_nc, output_nc=args.output_nc),

@@ -58,15 +58,16 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
 class Batcher:
     """Request coalescing: concurrent /generate and /progression calls that
     arrive within ``window_ms`` fuse into ONE device dispatch (the batch
-    dimension is free on the MXU; per-dispatch overhead is not). Fused
-    batches pad up to power-of-two buckets so a symbolic-batch artifact
-    compiles at most log2(max_batch) shapes instead of one per distinct
-    request-mix size."""
+    dimension is free on the MXU; per-dispatch overhead is not). Cohorts
+    are capped at ``max_rows`` fused rows and pad up to power-of-two
+    buckets, so a symbolic-batch artifact compiles at most
+    log2(max(max_rows, largest single request)) shapes instead of one per
+    distinct request-mix size."""
 
-    def __init__(self, served, window_ms: float, max_batch: int = 256):
+    def __init__(self, served, window_ms: float, max_rows: int = 256):
         self._served = served
         self._window = window_ms / 1e3
-        self._max = max_batch
+        self._max_rows = max_rows
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._queue = []                    # (images, cond, event, slot)
@@ -84,11 +85,24 @@ class Batcher:
             raise slot["err"]
         return slot["out"]
 
-    def _bucket(self, n: int) -> int:
+    @staticmethod
+    def _bucket(n: int) -> int:
         b = 1
         while b < n:
             b *= 2
-        return min(b, max(self._max, n))
+        return b
+
+    def _take_cohort(self):
+        """Pop requests until the ROW budget is spent (always at least one,
+        so a single oversize request still serves — alone)."""
+        cohort, rows = [], 0
+        while self._queue:
+            k = self._queue[0][0].shape[0]
+            if cohort and rows + k > self._max_rows:
+                break
+            cohort.append(self._queue.pop(0))
+            rows += k
+        return cohort
 
     def _run(self):
         while True:
@@ -97,8 +111,7 @@ class Batcher:
                     self._cv.wait()
             time.sleep(self._window)        # coalescing window
             with self._cv:
-                batch, self._queue = (self._queue[:self._max],
-                                      self._queue[self._max:])
+                batch = self._take_cohort()
             sizes = [b[0].shape[0] for b in batch]
             try:
                 imgs = np.concatenate([b[0] for b in batch], axis=0)
@@ -136,8 +149,6 @@ def _precheck(images: np.ndarray, cond: np.ndarray, meta: dict):
     if images.shape[0] != cond.shape[0]:
         raise ValueError(f"batch mismatch: images {images.shape[0]} vs "
                          f"cond {cond.shape[0]}")
-    if images.shape[0] == 0:
-        raise ValueError("empty request batch")
 
 
 def make_server(artifact_dir: str, host: str, port: int,
@@ -146,16 +157,24 @@ def make_server(artifact_dir: str, host: str, port: int,
     from pcgan_tpu.serving import load_exported
 
     served = load_exported(artifact_dir)
+    if served.meta.get("kind", "generator") != "generator":
+        raise ValueError(
+            f"{artifact_dir} holds a {served.meta['kind']} artifact; "
+            f"serve_http serves generator exports (score comparator "
+            f"artifacts through pcgan_tpu.serving.ServedComparator)")
     lock = threading.Lock()
     batcher = (Batcher(served, batch_window_ms)
                if batch_window_ms > 0 else None)
 
     def dispatch(images, cond):
-        if batcher is not None:
-            _precheck(images, cond, served.meta)
-            return batcher.submit(images, cond)
-        with lock:
-            return served(images, cond)
+        if batcher is None:
+            with lock:
+                return served(images, cond)
+        images, cond = served._validate(images, cond)
+        if images.shape[0] == 0:           # same contract as the direct path
+            return served._empty(images)
+        _precheck(images, cond, served.meta)
+        return batcher.submit(images, cond)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -192,14 +211,9 @@ def make_server(artifact_dir: str, host: str, port: int,
                         with lock:
                             out = served.progression(images)
                     else:
-                        # tile here so the grid rides the SAME fused batch
-                        conds = served.all_conditions()
-                        nb, b = conds.shape[0], images.shape[0]
-                        fakes = dispatch(
-                            np.repeat(np.asarray(images, np.float32),
-                                      nb, axis=0),
-                            np.tile(conds, (b, 1)))
-                        out = fakes.reshape(b, nb, *fakes.shape[1:])
+                        # the grid rides the coalescing dispatch; the
+                        # repeat/tile pairing stays in ONE place
+                        out = served.progression(images, call=dispatch)
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
                 self._reply(200, _npy_bytes(out), "application/octet-stream")
