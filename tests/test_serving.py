@@ -423,3 +423,25 @@ def test_export_dir_kind_guard(tmp_path):
     import serve_http
     with pytest.raises(ValueError, match="comparator artifact"):
         serve_http.make_server(str(tmp_path / "cmp"), "127.0.0.1", 0)
+
+
+def test_unet_export_roundtrip(tmp_path):
+    """Transposed convs under a SYMBOLIC batch dim: the unet family (4x4
+    stride-2 deconvs + skip concats) exports and round-trips too."""
+    import dataclasses
+    import jax.numpy as jnp
+    from pcgan_tpu.serving import export_generator, load_exported
+    from pcgan_tpu.config import Config, DataConfig, ModelConfig
+    cfg = Config(
+        data=DataConfig(batch_size=2, crop_size=128, load_size=143,
+                        n_age_bins=4),
+        model=ModelConfig(netG="unet_128", ngf=4, ndf=4, dtype="float32"))
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    served = load_exported(str(tmp_path))
+    for b in (1, 3):
+        imgs, cond = _rand_inputs(cfg, b, seed=b)
+        got = served(imgs, cond)
+        want = np.asarray(G.apply(v, jnp.asarray(imgs), jnp.asarray(cond),
+                                  train=False))
+        np.testing.assert_allclose(got, want, atol=2e-5)
