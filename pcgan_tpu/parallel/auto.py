@@ -119,12 +119,23 @@ def place_auto_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place the state on the mesh: model-axis sharded (params/opt/EMA on
     their output-channel shards) when the mesh has a `model` axis, else
     fully replicated. The pool is replicated either way — the auto path
-    runs one global pool, matching single-device reference semantics."""
-    if _has_axis(mesh, MODEL):
-        specs = model_state_shardings(state, mesh)
-        return jax.tree.map(jax.device_put, state, specs)
-    rep = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    runs one global pool, matching single-device reference semantics.
+
+    Placement goes through ``make_array_from_callback``: every process
+    calls this with the same host state (identical seeds) and contributes
+    its addressable shards — ``device_put`` cannot target a pod mesh's
+    non-addressable devices (same pod-correctness fix as
+    train_parallel.shard_train_state)."""
+    import jax.numpy as jnp
+    specs = (model_state_shardings(state, mesh) if _has_axis(mesh, MODEL)
+             else jax.tree.map(lambda _: NamedSharding(mesh, P()), state))
+
+    def put(x, sharding):
+        x = jnp.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, state, specs)
 
 
 def shard_batch_auto(batch, mesh: Mesh):

@@ -107,3 +107,45 @@ def test_two_process_distributed_eval():
         assert line, out
         fids.add(line[0].split("fid=")[1])
     assert len(fids) == 1, f"hosts disagree on the global FID: {fids}"
+
+
+@pytest.mark.slow
+def test_two_process_model_axis_step(tmp_path):
+    """The GSPMD data x model step is process-topology invariant: 2
+    jax.distributed processes over the same 2x2 mesh produce the same
+    params as one process. Also regression-pins pod-correct placement
+    (place_auto_state must use make_array_from_callback — device_put
+    cannot target the pod's non-addressable devices)."""
+    import numpy as np
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_auto_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    ref_out = str(tmp_path / "ref.npz")
+    p = subprocess.run([sys.executable, worker, "ref", ref_out], env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True, timeout=600)
+    assert p.returncode == 0, f"ref worker failed:\n{p.stdout}"
+
+    port = str(_free_port())
+    dist_out = str(tmp_path / "dist.npz")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "dist", dist_out if pid == 0 else "",
+         str(pid), port], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"dist worker {pid} failed:\n{out}"
+
+    ref, dist = np.load(ref_out), np.load(dist_out)
+    assert set(ref.files) == set(dist.files) and len(ref.files) > 10
+    # same tolerance reasoning as test_two_process_full_train_step: metrics
+    # are the tight signal; params get the Adam sign-flip bound
+    lr, n_steps = 2e-4, 2
+    for k in ref.files:
+        if k.startswith("metric_"):
+            np.testing.assert_allclose(ref[k], dist[k], rtol=2e-5, atol=2e-6,
+                                       err_msg=k)
+        else:
+            assert (float(np.max(np.abs(ref[k] - dist[k])))
+                    <= 2.1 * lr * n_steps), k
