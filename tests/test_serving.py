@@ -273,6 +273,13 @@ def test_http_server_roundtrip(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            st = jsonlib.loads(r.read())
+        # 1 /generate (3 rows) + 1 /progression (2*nb rows) + 1 error
+        assert st["requests"] == 2 and st["errors"] == 1
+        assert st["rows"] == 3 + 2 * cfg.data.n_age_bins
+        assert st["device_dispatches"] is None and st["uptime_s"] >= 0
     finally:
         httpd.shutdown()
         httpd.server_close()

@@ -156,6 +156,10 @@ def make_server(artifact_dir: str, host: str, port: int,
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from pcgan_tpu.serving import load_exported
 
+    t_start = time.time()
+    stats = {"requests": 0, "rows": 0, "errors": 0}
+    stats_lock = threading.Lock()
+
     served = load_exported(artifact_dir)
     if served.meta.get("kind", "generator") != "generator":
         raise ValueError(
@@ -196,6 +200,15 @@ def make_server(artifact_dir: str, host: str, port: int,
         def do_GET(self):
             if self.path == "/healthz":
                 return self._json(200, {"status": "ok", "meta": served.meta})
+            if self.path == "/stats":
+                with stats_lock:
+                    body = dict(stats)
+                body["uptime_s"] = round(time.time() - t_start, 1)
+                body["device_dispatches"] = (batcher.dispatches
+                                             if batcher else None)
+                body["batch_window_ms"] = (batch_window_ms
+                                           if batcher else 0.0)
+                return self._json(200, body)
             self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
@@ -205,6 +218,7 @@ def make_server(artifact_dir: str, host: str, port: int,
                 if self.path == "/generate":
                     images, cond = _load_npz(body, "images", "cond")
                     out = dispatch(images, cond)
+                    rows = images.shape[0]
                 elif self.path == "/progression":
                     (images,) = _load_npz(body, "images")
                     if batcher is None:
@@ -214,14 +228,22 @@ def make_server(artifact_dir: str, host: str, port: int,
                         # the grid rides the coalescing dispatch; the
                         # repeat/tile pairing stays in ONE place
                         out = served.progression(images, call=dispatch)
+                    rows = out.shape[0] * out.shape[1]
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
+                with stats_lock:
+                    stats["requests"] += 1
+                    stats["rows"] += int(rows)
                 self._reply(200, _npy_bytes(out), "application/octet-stream")
             except (KeyError, ValueError, OSError) as e:
+                with stats_lock:
+                    stats["errors"] += 1
                 self._json(400, {"error": str(e)})
             except Exception as e:   # device OOM / runtime failures: a
                 # keep-alive client must still get a status line, not a
                 # dead connection
+                with stats_lock:
+                    stats["errors"] += 1
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     httpd = ThreadingHTTPServer((host, port), Handler)
