@@ -121,31 +121,20 @@ def place_auto_state(state: TrainState, mesh: Mesh) -> TrainState:
     fully replicated. The pool is replicated either way — the auto path
     runs one global pool, matching single-device reference semantics.
 
-    Placement goes through ``make_array_from_callback``: every process
-    calls this with the same host state (identical seeds) and contributes
-    its addressable shards — ``device_put`` cannot target a pod mesh's
-    non-addressable devices (same pod-correctness fix as
-    train_parallel.shard_train_state)."""
-    import jax.numpy as jnp
+    Placement goes through ``mesh.pod_put``: every process calls this with
+    the same host state (identical seeds) and contributes its addressable
+    shards — ``device_put`` cannot target a pod mesh's non-addressable
+    devices."""
+    from pcgan_tpu.parallel.mesh import pod_put
     specs = (model_state_shardings(state, mesh) if _has_axis(mesh, MODEL)
              else jax.tree.map(lambda _: NamedSharding(mesh, P()), state))
-
-    def put(x, sharding):
-        x = jnp.asarray(x)
-        return jax.make_array_from_callback(x.shape, sharding,
-                                            lambda idx: x[idx])
-
-    return jax.tree.map(put, state, specs)
+    return jax.tree.map(pod_put, state, specs)
 
 
 def shard_batch_auto(batch, mesh: Mesh):
-    spec = _img_spec(mesh)
-    out = {}
-    for k, v in batch.items():
-        if v.ndim == 4:
-            out[k] = jax.device_put(v, NamedSharding(
-                mesh, P(DATA, None, None, None)))
-        else:
-            out[k] = jax.device_put(v, NamedSharding(
+    """Data-axis-sharded transfer (the step's with_sharding_constraint then
+    re-partitions images across spatial). Pod-correct via pod_put."""
+    from pcgan_tpu.parallel.mesh import pod_put
+    return {k: pod_put(v, NamedSharding(
                 mesh, P(*([DATA] + [None] * (v.ndim - 1)))))
-    return out
+            for k, v in batch.items()}

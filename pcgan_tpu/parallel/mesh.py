@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -77,3 +78,16 @@ def put_global_batch(batch, mesh: Mesh) -> dict:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def pod_put(x, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-process) mesh sharding.
+
+    ``jax.device_put`` cannot target non-addressable devices; the callback
+    form lets every process contribute just its addressable shards from
+    the same host value (all processes must call with identical data) —
+    the single pod-correct placement idiom shared by shard_train_state,
+    place_auto_state, and shard_batch_auto."""
+    x = jnp.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])

@@ -70,21 +70,17 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
     Multi-process meshes (SURVEY.md SS3.2): every process calls this with the
     same host state (identical seeds) and contributes its addressable shards
-    via make_array_from_callback — device_put cannot target non-addressable
-    devices, so the callback form is the pod-correct placement for the
-    sharded pool buffers (and a no-op difference single-process)."""
+    via mesh.pod_put — device_put cannot target non-addressable devices, so
+    the callback form is the pod-correct placement for the sharded pool
+    buffers (and a no-op difference single-process)."""
+    from pcgan_tpu.parallel.mesh import pod_put
     n = mesh.shape[AXIS]
     if not _pool_disabled(state) and state.pool.imgs.shape[0] % max(n, 1):
         raise ValueError(
             f"pool_size {state.pool.imgs.shape[0]} must divide data axis {n}")
     specs = _state_pspecs(state)
-
-    def put(x, spec):
-        x = jnp.asarray(x)
-        return jax.make_array_from_callback(
-            x.shape, NamedSharding(mesh, spec), lambda idx: x[idx])
-
-    return jax.tree.map(put, state, specs)
+    return jax.tree.map(
+        lambda x, spec: pod_put(x, NamedSharding(mesh, spec)), state, specs)
 
 
 def make_parallel_train_step(cfg: Config, G, D, C=None,

@@ -2,6 +2,7 @@
 # Deployment: trained checkpoint -> self-contained StableHLO artifact ->
 # HTTP serving host with request coalescing (docs/MIGRATION.md SS8).
 set -e
+cd "$(dirname "$0")/.."
 NAME="${NAME:-utk128}"
 CKPT="${CKPT:-./checkpoints}"
 OUT="${OUT:-./serving/$NAME}"

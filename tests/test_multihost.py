@@ -17,6 +17,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _drain(procs, timeout):
+    """communicate() all workers; on ANY timeout kill the whole cohort so a
+    hung Gloo collective cannot leak zombie processes into the suite."""
+    try:
+        return [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
 @pytest.mark.slow
 def test_two_process_put_global_batch():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -27,10 +38,7 @@ def test_two_process_put_global_batch():
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for pid in (0, 1)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    outs = _drain(procs, 300)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}: OK" in out
@@ -60,7 +68,7 @@ def test_two_process_full_train_step(tmp_path):
         [sys.executable, worker, "dist", dist_out if pid == 0 else "",
          str(pid), port], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = _drain(procs, 600)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"dist worker {pid} failed:\n{out}"
 
@@ -99,7 +107,7 @@ def test_two_process_distributed_eval():
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for pid in (0, 1)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = _drain(procs, 300)
     fids = set()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
@@ -133,7 +141,7 @@ def test_two_process_model_axis_step(tmp_path):
         [sys.executable, worker, "dist", dist_out if pid == 0 else "",
          str(pid), port], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = _drain(procs, 600)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"dist worker {pid} failed:\n{out}"
 

@@ -435,7 +435,6 @@ def test_export_dir_kind_guard(tmp_path):
 def test_unet_export_roundtrip(tmp_path):
     """Transposed convs under a SYMBOLIC batch dim: the unet family (4x4
     stride-2 deconvs + skip concats) exports and round-trips too."""
-    import dataclasses
     import jax.numpy as jnp
     from pcgan_tpu.serving import export_generator, load_exported
     from pcgan_tpu.config import Config, DataConfig, ModelConfig
