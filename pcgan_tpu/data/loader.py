@@ -52,6 +52,20 @@ def create_dataset(cfg: Config, train: bool = True):
                 f"needs {min(ds.native, cfg.data.load_size)}px of source "
                 f"resolution; raise host_decode_m or lower load_size")
         return ds
+    if mode == "packed":
+        # pre-decoded mmap pack (tools/pack_dataset.py) — the production
+        # zero-decode epoch path; rows are bit-identical to what the live
+        # decode path emitted at pack time (SURVEY.md SS2 C10; the decode
+        # hot loop of SS4.1 moves to a one-time offline step)
+        from pcgan_tpu.data.packed import PackedDataset
+        ds = PackedDataset(cfg.data.dataroot, max_size=ms)
+        if ds.resized and cfg.data.load_size > ds.out_size:
+            raise ValueError(
+                f"pack at {cfg.data.dataroot} was pre-resized to "
+                f"{ds.out_size}px but --load_size {cfg.data.load_size} wants "
+                f"more source resolution; re-pack without --resize_to (or "
+                f"with --resize_to >= load_size)")
+        return ds
     if mode == "sorted":
         from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
         return SortedLabelsDataset(cfg.data.labels_csv, max_size=ms)
