@@ -65,7 +65,8 @@ def measure(cfg, steps: int, warmup: int = 3) -> float:
     return cfg.data.batch_size * steps / dt / n_chips
 
 
-def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512) -> float:
+def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512,
+                packed: bool = False) -> float:
     """HONEST end-to-end rate: synthetic JPEGs on disk -> threaded host
     decode -> with_bins -> mesh-sharded transfer -> device prefetch -> fused
     train step. Proves the headline compute rate survives real host IO
@@ -103,6 +104,14 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512) -> float:
                                         steps_per_epoch=1000,
                                         with_preprocess=True)
         ds = UTKFaceDataset(tmpdir, decode_m=cfg.data.host_decode_m)
+        if packed:
+            # --packed: measure the production zero-decode epoch path —
+            # pack ONCE offline (excluded from the timed loop, that is the
+            # point of the format), then serve rows from the mmap
+            from pcgan_tpu.data.packed import PackedDataset, write_pack
+            pack_dir = os.path.join(tmpdir, "pack")
+            write_pack(ds, pack_dir, num_threads=cfg.data.num_threads)
+            ds = PackedDataset(pack_dir)
         ld = Loader(ds, cfg.data.batch_size, shuffle=True,
                     num_threads=cfg.data.num_threads,
                     resize_to=host_resize_size(cfg))
@@ -159,6 +168,11 @@ def measure_infer(cfg, steps: int, warmup: int = 3,
         cond = jnp.asarray(rng.uniform(-1, 1, (bs, cfg.cond_nc)), dt)
     variables = init_params(G, jax.random.PRNGKey(0), x[:1], cond[:1],
                             train=False)
+    if cfg.model.quant_int8:
+        # calibrate static activation scales (one pass) so the measured
+        # path is the production one: no per-conv absmax reductions
+        from pcgan_tpu.ops.quant import calibrate_quant
+        variables = calibrate_quant(G, variables, x, cond, train=False)
     if serving:
         import shutil
         import tempfile
@@ -268,6 +282,9 @@ def main():
                    help="with --infer: measure the AOT StableHLO serving "
                         "artifact (pcgan_tpu/serving.py) instead of the "
                         "live jitted model")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="with --infer: int8-PTQ the G trunk convs "
+                        "(MXU int8 rate; NON-parity inference lever)")
     p.add_argument("--e2e", action="store_true",
                    help="end-to-end rate incl. JPEG decode + host->device "
                         "transfer (synthetic on-disk dataset)")
@@ -279,6 +296,10 @@ def main():
                    help="e2e mode: PIL-resize to load_size on the host "
                         "before transfer (parity-faithful; wins on "
                         "transfer-bound links — docs/perf_notes.md)")
+    p.add_argument("--packed", action="store_true",
+                   help="e2e mode: serve the dataset from a pre-decoded "
+                        "mmap pack (tools/pack_dataset.py) — the "
+                        "zero-decode production epoch path")
     p.add_argument("--skip_e2e", action="store_true",
                    help="omit the e2e addendum from the default headline "
                         "(compute-only, faster)")
@@ -288,6 +309,8 @@ def main():
 
     if args.serving and not args.infer:
         p.error("--serving modifies --infer; pass both")
+    if args.quant_int8 and not args.infer:
+        p.error("--quant_int8 is inference-only here; pass --infer")
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
     from pcgan_tpu.platform import respect_env_platform
@@ -319,7 +342,8 @@ def main():
                             host_decode_m=args.host_decode_m,
                             host_resize=args.host_resize),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              remat=args.size >= 256 and batch > 32),
+                              remat=args.size >= 256 and batch > 32,
+                              quant_int8=args.quant_int8),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
         steps = args.steps or 30
 
@@ -337,7 +361,8 @@ def main():
 
     if args.infer:
         value = measure_infer(cfg, max(steps, 20), serving=args.serving)
-        tag = "_serving" if args.serving else ""
+        tag = ("_serving" if args.serving else "") + (
+            "_int8" if args.quant_int8 else "")
         print(json.dumps({
             "metric": (f"infer_imgs_per_sec_per_chip_"
                        f"{cfg.data.crop_size}px{tag}"),
@@ -346,8 +371,10 @@ def main():
             "batch": cfg.data.batch_size}))
         return
 
+    if args.packed and not args.e2e:
+        p.error("--packed modifies --e2e; pass both")
     if args.e2e:
-        value = measure_e2e(cfg, steps)
+        value = measure_e2e(cfg, steps, packed=args.packed)
     else:
         value = measure(cfg, steps)
 
@@ -360,7 +387,8 @@ def main():
         ref = base.get("imgs_per_sec_per_chip_128px")
         if ref:
             vs = round(value / ref, 2)
-    suffix = "_e2e" if args.e2e else ""
+    suffix = ("_e2e_packed" if args.e2e and args.packed
+              else "_e2e" if args.e2e else "")
     line = {
         "metric": (f"train_imgs_per_sec_per_chip_"
                    f"{cfg.data.crop_size}px{suffix}"),

@@ -30,7 +30,8 @@ class DataConfig:
     """Input-pipeline config (reference L5, SURVEY.md SS2 C10/C11)."""
 
     dataroot: str = "./datasets/utkface"
-    dataset_mode: str = "aging"      # aging | pairwise | single | synthetic
+    dataset_mode: str = "aging"      # aging|pairwise|single|synthetic|sorted|
+                                     # comparisons|packed (pre-decoded mmap)
     load_size: int = 143             # resize shorter side to this ...
     crop_size: int = 128             # ... then (random|center) crop to this
     preprocess: str = "resize_and_crop"  # resize_and_crop|crop|resize|none
@@ -89,6 +90,12 @@ class ModelConfig:
     # (kernel-tap, channel) pairs on MXU lanes instead of 3 image channels
     # (ops/lowch_conv.py). bf16-only; no-op for f32 parity runs.
     lowch_matmul: bool = True
+    # int8 post-training quantization of the G TRUNK convs for INFERENCE
+    # (test.py / export_serving / bench --infer): s8xs8->s32 rides the
+    # MXU's ~1.6x int8 rate (measured, docs/perf_notes.md). Opt-in,
+    # beyond-reference, NON-parity (outputs differ at quantization-noise
+    # level); train.py rejects it (round() has zero gradient).
+    quant_int8: bool = False
     remat: bool = False              # rematerialize G resnet blocks (256px HBM)
     remat_blocks: int = -1           # partial remat: only the first N blocks
                                      # recompute (-1 = all) — memory/speed dial
@@ -263,6 +270,7 @@ _FLAG_MAP = {
     "remat": ("model", "remat"),
     "remat_blocks": ("model", "remat_blocks"),
     "lowch_matmul": ("model", "lowch_matmul"),
+    "quant_int8": ("model", "quant_int8"),
     "name": ("run", "name"),
     "checkpoints_dir": ("run", "checkpoints_dir"),
     "verbose": ("run", "verbose"),
@@ -340,6 +348,11 @@ _FLAG_HELP = {
                   "HBM dial beyond the reference; 1 = off)",
     "remat": "rematerialize G resnet/unet blocks in the backward pass "
              "(HBM relief for 256px large batches)",
+    "quant_int8": "int8 post-training quantization of the G trunk convs "
+                  "for INFERENCE (test/export/bench --infer): rides the "
+                  "MXU's ~1.6x int8 rate. Beyond-reference NON-parity "
+                  "lever (outputs differ at quantization-noise level); "
+                  "rejected by train.py",
     "use_ema": "sample from the {tag}_G_ema twin (needs --ema_decay "
                "training)",
     "verbose": "print each network's full parameter tree at startup "

@@ -54,6 +54,7 @@ class ResnetBlock(nn.Module):
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
+    quant: bool = False              # int8 PTQ inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -61,14 +62,14 @@ class ResnetBlock(nn.Module):
         # reflect padding rides inside TorchConv (fused-backward form)
         use_bias = conv_bias_before_norm(self.norm)
         h = TorchConv(self.dim, 3, 1, 1, pad_mode=self.pad_mode,
-                      use_bias=use_bias, dtype=self.dtype,
+                      use_bias=use_bias, dtype=self.dtype, quant=self.quant,
                       kernel_init=self.kernel_init)(x)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = TorchConv(self.dim, 3, 1, 1, pad_mode=self.pad_mode,
-                      use_bias=use_bias, dtype=self.dtype,
+                      use_bias=use_bias, dtype=self.dtype, quant=self.quant,
                       kernel_init=self.kernel_init)(h)
         h = Norm(self.norm, self.dtype)(h, train)
         return x + h
@@ -90,6 +91,11 @@ class ResnetGenerator(nn.Module):
     remat_blocks: int = -1           # how many blocks to remat (-1 = all):
                                      # partial remat = memory/speed dial
     lowch_matmul: bool = False       # tap-matmul stem/tail convs (bf16 perf)
+    # --quant_int8: int8 PTQ on the TRUNK convs (down/blocks/up — where the
+    # FLOPs are); stem and tail stay in the compute dtype (standard PTQ
+    # practice: the image-edge layers are the quality-sensitive ones and
+    # hold <3% of the FLOPs). Inference-only NON-parity serving lever.
+    quant_trunk: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -126,7 +132,8 @@ class ResnetGenerator(nn.Module):
 
         for i in range(self.n_downsampling):
             mult = 2 ** i
-            h = TorchConv(self.ngf * mult * 2, 3, 2, 1, use_bias=norm_bias, **kw)(h)
+            h = TorchConv(self.ngf * mult * 2, 3, 2, 1, use_bias=norm_bias,
+                          quant=self.quant_trunk, **kw)(h)
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.relu(h)
 
@@ -136,7 +143,8 @@ class ResnetGenerator(nn.Module):
             # project back to the resnet trunk width so blocks stay residual
             # (no norm follows -> bias stays live)
             mult = 2 ** self.n_downsampling
-            h = TorchConv(self.ngf * mult, 1, 1, 0, use_bias=use_bias, **kw)(h)
+            h = TorchConv(self.ngf * mult, 1, 1, 0, use_bias=use_bias,
+                          quant=self.quant_trunk, **kw)(h)
 
         mult = 2 ** self.n_downsampling
         # remat trades FLOPs for HBM (SURVEY.md SS7: 256px large-batch path):
@@ -156,6 +164,7 @@ class ResnetGenerator(nn.Module):
             # flag (params trained with --remat wouldn't load without it)
             h = block_cls(self.ngf * mult, self.norm, self.use_dropout,
                           dtype=self.dtype, kernel_init=self.kernel_init,
+                          quant=self.quant_trunk,
                           name=f"ResnetBlock_{bi}")(h, train)
 
         for i in range(self.n_downsampling):
@@ -163,7 +172,7 @@ class ResnetGenerator(nn.Module):
             feats = int(self.ngf * mult / 2)
             if self.upsample == "deconv":
                 h = TorchConvTranspose(feats, 3, 2, 1, 1, use_bias=norm_bias,
-                                       **kw)(h)
+                                       quant=self.quant_trunk, **kw)(h)
             else:
                 h = ResizeConv(feats, 2, use_bias=norm_bias, **kw)(h)
             h = Norm(self.norm, self.dtype)(h, train)
@@ -190,6 +199,7 @@ class UnetSkipBlock(nn.Module):
     norm: str = "instance"
     use_dropout: bool = False
     inject_cond: bool = False
+    quant: bool = False              # int8 PTQ inference path (ops/quant.py)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -200,6 +210,8 @@ class UnetSkipBlock(nn.Module):
         # a conv that feeds this level's norm drops its inert bias
         norm_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
+        # quantize everything except the image-edge convs (outermost level)
+        q = self.quant and not self.outermost
 
         # down (outer/innermost down convs feed relu/submodule, not a norm)
         down_normed = not (self.outermost or self.innermost)
@@ -207,7 +219,7 @@ class UnetSkipBlock(nn.Module):
         h = TorchConv(self.inner_nc, 4, 2, 1,
                       use_bias=(norm_bias if down_normed
                                 else use_bias or self.outermost),
-                      **kw)(h)
+                      quant=q, **kw)(h)
         if down_normed:
             h = Norm(self.norm, self.dtype)(h, train)
 
@@ -225,7 +237,7 @@ class UnetSkipBlock(nn.Module):
                                    **kw)(h)
             return jnp.tanh(h.astype(jnp.float32))
         h = TorchConvTranspose(self.outer_nc, 4, 2, 1, 0, use_bias=norm_bias,
-                               **kw)(h)
+                               quant=q, **kw)(h)
         h = Norm(self.norm, self.dtype)(h, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
@@ -244,6 +256,7 @@ class UnetGenerator(nn.Module):
                                     # (-1 = all); outer levels hold the
                                     # largest activations, so full remat is
                                     # the big memory win
+    quant_trunk: bool = False        # int8 PTQ on non-outermost levels
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -258,7 +271,8 @@ class UnetGenerator(nn.Module):
         if not bottleneck:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
-        kw = dict(norm=self.norm, dtype=self.dtype, kernel_init=self.kernel_init)
+        kw = dict(norm=self.norm, dtype=self.dtype,
+                  kernel_init=self.kernel_init, quant=self.quant_trunk)
         n_levels = self.num_downs - 1
         n_remat = 0
         if self.remat:

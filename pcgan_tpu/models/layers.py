@@ -85,6 +85,31 @@ def _conv_precision(dtype) -> jax.lax.Precision:
             else jax.lax.Precision.DEFAULT)
 
 
+def _act_quant_scale(mod: nn.Module, x: jnp.ndarray):
+    """Static-activation-scale support for the int8 PTQ path.
+
+    Three trace-time cases (ops/quant.py calibrate_quant):
+    - calibration apply (``mutable=['quant']``): record the running absmax
+      of this site's activation into the ``quant`` collection, return None
+      (this pass quantizes dynamically);
+    - inference with a calibrated ``quant`` collection in ``variables``:
+      return the static scale — int8_conv then skips its absmax pass;
+    - plain inference / init: return None (dynamic per-tensor quant).
+    """
+    calibrating = (mod.is_mutable_collection("quant")
+                   and not mod.is_initializing())
+    if calibrating:
+        stat = mod.variable("quant", "act_absmax",
+                            lambda: jnp.zeros((), jnp.float32))
+        stat.value = jnp.maximum(
+            stat.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return None
+    if mod.has_variable("quant", "act_absmax"):
+        return jnp.maximum(mod.get_variable("quant", "act_absmax"),
+                           1e-12) / 127.0
+    return None
+
+
 class TorchConv(nn.Module):
     """torch ``nn.Conv2d(in, out, k, stride=s, padding=p, bias=b)`` in NHWC.
 
@@ -115,6 +140,11 @@ class TorchConv(nn.Module):
     # see ops/lowch_conv.py. bf16 only (float-association differs from the
     # direct conv; the f32 .pth-parity path keeps the exact lowering).
     lowch_matmul: bool = False
+    # int8 PTQ inference path (--quant_int8, ops/quant.py): s8xs8->s32 on
+    # the MXU at ~1.6x the bf16 rate. Inference-only NON-parity lever;
+    # routed for the plain conv branches only (the s2d/lowch and
+    # separated-cond forms keep their own measured-optimal lowerings).
+    quant: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
@@ -182,15 +212,30 @@ class TorchConv(nn.Module):
                 and min(x.shape[1], x.shape[2]) >= p + 2):
             y = reflect_conv(xd, kd, p, precision=prec)
         elif self.pad_mode == "zero":
-            y = jax.lax.conv_general_dilated(
-                xd, kd, window_strides=(self.stride, self.stride),
-                padding=((p, p), (p, p)), dimension_numbers=_DIMS,
-                precision=prec)
+            if self.quant:
+                from pcgan_tpu.ops.quant import int8_conv
+                y = int8_conv(xd, kernel, (self.stride, self.stride),
+                              ((p, p), (p, p)), out_dtype=self.dtype,
+                              act_scale=_act_quant_scale(self, xd))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xd, kd, window_strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), dimension_numbers=_DIMS,
+                    precision=prec)
         else:
-            y = jax.lax.conv_general_dilated(
-                pad2d(xd, p, self.pad_mode), kd,
-                window_strides=(self.stride, self.stride),
-                padding="VALID", dimension_numbers=_DIMS, precision=prec)
+            if self.quant:
+                # pad first; reflect/replicate padding cannot raise the
+                # absmax, so the pre-pad calibration scale is exact
+                from pcgan_tpu.ops.quant import int8_conv
+                y = int8_conv(pad2d(xd, p, self.pad_mode), kernel,
+                              (self.stride, self.stride), ((0, 0), (0, 0)),
+                              out_dtype=self.dtype,
+                              act_scale=_act_quant_scale(self, xd))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    pad2d(xd, p, self.pad_mode), kd,
+                    window_strides=(self.stride, self.stride),
+                    padding="VALID", dimension_numbers=_DIMS, precision=prec)
         if cond_bias is not None:
             y = y + cond_bias
         if self.use_bias:
@@ -278,6 +323,7 @@ class TorchConvTranspose(nn.Module):
     padding: int = 1
     output_padding: int = 1
     use_bias: bool = True
+    quant: bool = False              # int8 PTQ inference path (see TorchConv)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
@@ -289,15 +335,25 @@ class TorchConvTranspose(nn.Module):
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
             jnp.float32)
         lo, hi = k - 1 - p, k - 1 - p + op
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            jnp.flip(kernel, axis=(0, 1)).astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((lo, hi), (lo, hi)),
-            lhs_dilation=(s, s),
-            dimension_numbers=_DIMS,
-            precision=_conv_precision(self.dtype),
-        )
+        if self.quant:
+            # lhs_dilation's inserted zeros are exact in int8, so the PTQ
+            # scheme applies to the dilated-deconv lowering unchanged
+            from pcgan_tpu.ops.quant import int8_conv
+            xd = x.astype(self.dtype)
+            y = int8_conv(xd, jnp.flip(kernel, axis=(0, 1)),
+                          (1, 1), ((lo, hi), (lo, hi)), lhs_dilation=(s, s),
+                          out_dtype=self.dtype,
+                          act_scale=_act_quant_scale(self, xd))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                jnp.flip(kernel, axis=(0, 1)).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=_DIMS,
+                precision=_conv_precision(self.dtype),
+            )
         if self.use_bias:
             bias = self.param("bias", jax.nn.initializers.zeros,
                               (self.features,), jnp.float32)

@@ -62,12 +62,14 @@ def define_G(cfg: Config) -> nn.Module:
         return ResnetGenerator(n_blocks=9, upsample=variant or "deconv",
                                remat=cfg.model.remat,
                                remat_blocks=cfg.model.remat_blocks,
-                               lowch_matmul=cfg.model.lowch_matmul, **kw)
+                               lowch_matmul=cfg.model.lowch_matmul,
+                               quant_trunk=cfg.model.quant_int8, **kw)
     if base == "resnet_6blocks":
         return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
                                remat=cfg.model.remat,
                                remat_blocks=cfg.model.remat_blocks,
-                               lowch_matmul=cfg.model.lowch_matmul, **kw)
+                               lowch_matmul=cfg.model.lowch_matmul,
+                               quant_trunk=cfg.model.quant_int8, **kw)
     if base.startswith("unet_"):
         # template naming: unet_<image size>, num_downs = log2(size)
         # (no lowch_matmul dial here: the unet stem is a 4x4 s2 conv whose
@@ -78,7 +80,8 @@ def define_G(cfg: Config) -> nn.Module:
             raise NotImplementedError(f"netG [{name}]: size must be a power of 2")
         return UnetGenerator(num_downs=size.bit_length() - 1,
                              remat=cfg.model.remat,
-                             remat_blocks=cfg.model.remat_blocks, **kw)
+                             remat_blocks=cfg.model.remat_blocks,
+                             quant_trunk=cfg.model.quant_int8, **kw)
     raise NotImplementedError(f"netG [{name}] not implemented")
 
 

@@ -69,6 +69,16 @@ def main(argv=None):
                         "generator (perf path); float32 for --comparator_path "
                         "(scoring ranks near-ties — matches "
                         "tools/sort_unlabeled.py exactly)")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="int8-PTQ the generator trunk inside the artifact "
+                        "(MXU int8 rate, ~1.2x serving throughput at 128px; "
+                        "NON-parity: outputs differ at quantization-noise "
+                        "level). Activation scales are calibrated at export "
+                        "time on --calib_batches random batches across all "
+                        "conditions and baked into the artifact")
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="calibration batches for --quant_int8 static "
+                        "activation scales")
     p.add_argument("--crop_size", type=int, default=128)
     p.add_argument("--n_age_bins", type=int, default=10)
     p.add_argument("--input_nc", type=int, default=3)
@@ -134,7 +144,8 @@ def main(argv=None):
                         input_nc=args.input_nc, output_nc=args.output_nc),
         model=ModelConfig(netG=args.netG, ngf=args.ngf, norm=args.norm,
                           cond_inject=args.cond_inject,
-                          cond_mode=args.cond_mode, dtype=args.dtype))
+                          cond_mode=args.cond_mode, dtype=args.dtype,
+                          quant_int8=args.quant_int8))
     G = define_G(cfg)
     template = init_params(
         G, jax.random.PRNGKey(0),
@@ -142,6 +153,29 @@ def main(argv=None):
         jnp.zeros((1, cfg.cond_nc)), train=False)
     g_vars = ckpt.restore_generator(template, args.checkpoints_dir, args.name,
                                     args.tag, use_ema=args.use_ema)
+    if args.quant_int8:
+        # calibrate static activation scales on random [-1,1] images across
+        # random conditions; the running absmaxes bake into the artifact as
+        # constants (no per-conv absmax pass at serve time). Approximation:
+        # real-data calibration would be tighter — uniform inputs are
+        # conservative (full input range exercised).
+        from pcgan_tpu.ops.quant import calibrate_quant
+        crng = np.random.default_rng(0)
+        batches = []
+        for _ in range(max(1, args.calib_batches)):
+            imgs = jnp.asarray(crng.uniform(
+                -1, 1, (8, args.crop_size, args.crop_size, args.input_nc)),
+                jnp.float32)
+            if cfg.cond_nc == args.n_age_bins:
+                cond = jnp.asarray(
+                    np.eye(args.n_age_bins)[crng.integers(
+                        0, args.n_age_bins, 8)], jnp.float32)
+            else:
+                cond = jnp.asarray(crng.uniform(-1, 1, (8, 1)), jnp.float32)
+            batches.append((imgs, cond))
+        g_vars = calibrate_quant(G, g_vars, batches=batches, train=False)
+        print(f"calibrated int8 activation scales on "
+              f"{len(batches)} batches", flush=True)
 
     out_dir = args.out_dir
     if out_dir is None:
@@ -165,15 +199,21 @@ def main(argv=None):
         conds = served.all_conditions()
         cond = conds[rng.integers(0, conds.shape[0], b)]
         got = served(imgs, cond)
-        want = np.asarray(
-            G.apply(g_vars, jnp.asarray(imgs).astype(
-                jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32),
-                jnp.asarray(cond).astype(
-                    jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32),
-                train=False), np.float32)
+        dt = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        # jit the live reference: the artifact is a whole-program compile,
+        # and int8 quantization amplifies eager-vs-jit bf16 association
+        # noise through round() boundary flips (measured: eager diff ~0.2,
+        # jitted ~0.13 on a quant artifact; ~1e-6..5e-2 without quant)
+        live = jax.jit(lambda v, a, c: G.apply(
+            v, a.astype(dt), c.astype(dt), train=False).astype(jnp.float32))
+        want = np.asarray(live(g_vars, jnp.asarray(imgs), jnp.asarray(cond)))
         err = float(np.abs(got - want).max())
-        print(f"verify: max|exported - live| = {err:.2e}", flush=True)
-        if not np.isfinite(err) or err > 5e-2:
+        mean_err = float(np.abs(got - want).mean())
+        print(f"verify: max|exported - live| = {err:.2e} "
+              f"(mean {mean_err:.2e})", flush=True)
+        max_tol, mean_tol = ((0.3, 0.03) if args.quant_int8
+                             else (5e-2, 5e-2))
+        if not np.isfinite(err) or err > max_tol or mean_err > mean_tol:
             raise SystemExit("verification FAILED")
 
 

@@ -25,6 +25,12 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=True)
+    if cfg.model.quant_int8:
+        # inference-only lever: round() has zero gradient, so a quantized
+        # trunk would silently train NOTHING — reject loudly
+        raise SystemExit("--quant_int8 is an inference-only lever (test.py/"
+                         "export_serving/bench --infer); training through "
+                         "int8 quantization has zero gradients")
 
     import jax
     import jax.numpy as jnp
