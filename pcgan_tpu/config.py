@@ -52,6 +52,13 @@ class DataConfig:
     # transfer-bound. Parity-faithful either way (device matrices reproduce
     # PIL; host path IS PIL).
     host_resize: bool = False
+    # the fixed square canvas (px) folder datasets decode to on the host —
+    # fixed-shape batches are what keeps host->device transfer and the jitted
+    # step static-shaped. 0 (default) = auto-detect from the first image in
+    # the folder (UTKFace aligned -> 200, CACD -> 250: uniform-size sources
+    # then take the decode-only path with NO host resample, exactly the
+    # reference's transform chain). Explicit >0 pins it (mixed-size folders).
+    native_size: int = 0
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
     labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
     comparisons_csv: str = ""        # for dataset_mode=comparisons (pathA,pathB,label)
@@ -242,6 +249,7 @@ _FLAG_MAP = {
     "num_threads": ("data", "num_threads"),
     "host_decode_m": ("data", "host_decode_m"),
     "host_resize": ("data", "host_resize"),
+    "native_size": ("data", "native_size"),
     "max_dataset_size": ("data", "max_dataset_size"),
     "labels_csv": ("data", "labels_csv"),
     "comparisons_csv": ("data", "comparisons_csv"),
@@ -339,6 +347,11 @@ _FLAG_HELP = {
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "
                    "Default off: resize runs on device (TPU-native)",
+    "native_size": "square host-decode canvas in px for folder datasets; "
+                   "0 (default) auto-detects from the first image "
+                   "(UTKFace 200, CACD 250 — uniform-size folders then "
+                   "decode with NO host resample). Pin explicitly for "
+                   "mixed-size folders",
     "ema_decay": "keep an EMA twin of G saved as {tag}_G_ema (quality "
                  "lever beyond the reference; 0 = off = reference parity). "
                  "Must match the saved run when resuming",

@@ -36,7 +36,14 @@ def create_dataset(cfg: Config, train: bool = True):
         return SyntheticAgingDataset(size=size, seed=cfg.train.seed,
                                      max_age=cfg.data.max_age)
     if mode in ("aging", "single"):
+        # --native_size 0 (default) probes the folder's own canvas (UTKFace
+        # 200, CACD 250) so uniform-size sources decode with NO host
+        # resample; the cap bounds mixed folders with huge photos at 2x
+        # load_size — past that the extra canvas cannot sharpen the device
+        # resize-to-load_size output.
         ds = UTKFaceDataset(cfg.data.dataroot, max_size=ms,
+                            native=cfg.data.native_size,
+                            native_cap=max(200, 2 * cfg.data.load_size),
                             require_age=(mode == "aging"),
                             decode_m=cfg.data.host_decode_m)
         if ds.out_size < min(ds.native, cfg.data.load_size):
@@ -89,6 +96,24 @@ def create_dataset(cfg: Config, train: bool = True):
 def _exists(path):
     import os
     return os.path.isdir(path)
+
+
+PIL_RESIZE_METHODS = ("bicubic", "bilinear", "nearest")
+
+
+def pil_resize_np(img: np.ndarray, size: int,
+                  method: str = "bicubic") -> np.ndarray:
+    """PIL-resize one u8 HWC array to (size, size) — THE host-resize
+    primitive shared by the live Loader (--host_resize) and pack time
+    (pcgan_tpu/data/packed.py write_pack --resize_to), so the two paths stay
+    bit-interchangeable by construction instead of by parallel maintenance.
+    No-op when both spatial dims already match."""
+    if img.shape[:2] == (size, size):
+        return img
+    from PIL import Image
+    filt = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+            "nearest": Image.NEAREST}[method]
+    return np.asarray(Image.fromarray(img).resize((size, size), filt))
 
 
 def host_resize_size(cfg: Config) -> int:
@@ -196,13 +221,9 @@ class Loader:
     def _host_resize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.resize_to <= 0:
             return batch
-        from PIL import Image
-        filt = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
-                "nearest": Image.NEAREST}[self.resize_method]
-        size = (self.resize_to, self.resize_to)
 
         def one(a):
-            return np.asarray(Image.fromarray(a).resize(size, filt))
+            return pil_resize_np(a, self.resize_to, self.resize_method)
 
         out = dict(batch)
         for k, v in batch.items():

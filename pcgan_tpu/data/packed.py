@@ -56,6 +56,12 @@ def write_pack(ds, out_dir: str, *, resize_to: int = 0,
     n = len(ds)
     if n == 0:
         raise ValueError("refusing to pack an empty dataset")
+    # the SAME host-resize primitive the live Loader uses (--host_resize), so
+    # packed and live rows stay bit-interchangeable by construction
+    from pcgan_tpu.data.loader import PIL_RESIZE_METHODS, pil_resize_np
+    if resize_method not in PIL_RESIZE_METHODS:
+        raise ValueError(f"resize_method [{resize_method}] "
+                         f"(want one of {PIL_RESIZE_METHODS})")
     first = ds.get_raw(0)["image"]
     size = int(resize_to) if resize_to and resize_to > 0 else int(
         first.shape[0])
@@ -64,16 +70,11 @@ def write_pack(ds, out_dir: str, *, resize_to: int = 0,
         os.path.join(out_dir, "images.npy"), mode="w+", dtype=np.uint8,
         shape=(n, size, size, 3))
     ages = np.zeros((n,), np.int64)
-    filt = None
-    if resize_to and resize_to > 0:
-        from PIL import Image
-        filt = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
-                "nearest": Image.NEAREST}[resize_method]
+    do_resize = bool(resize_to and resize_to > 0)
 
     def place(j: int, img: np.ndarray):
-        if filt is not None and img.shape[:2] != (size, size):
-            from PIL import Image
-            img = np.asarray(Image.fromarray(img).resize((size, size), filt))
+        if do_resize:
+            img = pil_resize_np(img, size, resize_method)
         if img.shape != (size, size, 3):
             raise ValueError(
                 f"row {j}: decoded shape {img.shape} does not match the pack "

@@ -41,14 +41,36 @@ def list_images(root: str, max_size: int = -1) -> List[str]:
     return out
 
 
+def probe_native_size(paths: List[str], cap: int = 0,
+                      default: int = 200) -> int:
+    """Auto-detect the host-decode canvas: the min spatial dim of the first
+    readable image (PIL header-only open — no pixel decode). Uniform-size
+    folders (aligned UTKFace 200px, CACD 250px) then decode straight onto
+    their own canvas with NO host resample — the reference's exact transform
+    chain (PIL decode -> one resize to load_size, which runs on device here).
+    ``cap`` > 0 bounds the canvas (mixed folders with huge photos would
+    otherwise blow up host batches); falls back to ``default`` when nothing
+    is readable."""
+    from PIL import Image
+    for p in paths[:64]:
+        try:
+            with Image.open(p) as im:
+                w, h = im.size
+        except Exception:
+            continue
+        n = max(1, min(w, h))
+        return min(n, cap) if cap and cap > 0 else n
+    return default
+
+
 class UTKFaceDataset:
     """Protocol: __len__, ages, get_raw(i) -> {'image': u8 (native,native,3), 'age': int}."""
 
     def __init__(self, root: str, native: int = 200, max_size: int = -1,
-                 require_age: bool = True, decode_m: int = 8):
+                 require_age: bool = True, decode_m: int = 8,
+                 native_cap: int = 0):
         from PIL import Image  # host-side decode only
         self._Image = Image
-        self.native = native
         # decode_m/8 = libjpeg DCT-domain downscale (NON-parity fast path
         # for core-starved hosts; --host_decode_m). The emitted canvas
         # shrinks to ceil(native*m/8). get_raw routes through the native
@@ -56,8 +78,13 @@ class UTKFaceDataset:
         # PIL fallback is exact for m in {1,2,4,8} (draft) and approximate
         # otherwise (see get_raw).
         self.decode_m = max(1, min(8, int(decode_m)))
-        self.out_size = -(-native * self.decode_m // 8)
         paths = list_images(root, -1)
+        # native == 0: auto-detect the canvas from the folder itself
+        # (--native_size 0, the default) so CACD-style 250px sources don't
+        # get force-resampled through UTKFace's 200px canvas
+        self.native = int(native) if native and native > 0 else (
+            probe_native_size(paths, cap=native_cap))
+        self.out_size = -(-self.native * self.decode_m // 8)
         items: List[Tuple[str, int]] = []
         for p in paths:
             age = parse_age(p)

@@ -279,3 +279,52 @@ def test_host_resize_non_square_canvas():
     # already-square-at-target passes through untouched (no PIL round trip)
     same = {"image": np.zeros((4, 48, 48, 3), np.uint8)}
     assert ld._host_resize(same)["image"] is same["image"]
+
+
+def test_native_canvas_autodetect_cacd_style(tmp_path):
+    """--native_size 0 (default) probes the folder's own canvas: CACD-style
+    250px 'age_Name_0001.jpg' sources decode onto a 250px canvas with NO
+    host resample (the fixed 200px UTKFace canvas would double-resample
+    them: 250 -> 200 -> load_size, losing resolution the reference's single
+    resize keeps). SURVEY.md SS2 C10 (CACD-scale data) / SS7 config 5."""
+    from PIL import Image
+    from pcgan_tpu.data.utkface import UTKFaceDataset, probe_native_size
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 256, (250, 250, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            tmp_path / f"{20 + i}_Aaron_Johnson_{i:04d}.jpg", quality=95)
+    ds = UTKFaceDataset(str(tmp_path), native=0)
+    assert ds.native == 250 and ds.out_size == 250
+    row = ds.get_raw(0)
+    assert row["image"].shape == (250, 250, 3) and row["age"] == 20
+    # batch path agrees with the canvas
+    batch = ds.get_raw_batch(np.arange(3), num_threads=1)
+    if batch is not None:                      # native decoder available
+        assert batch["image"].shape == (3, 250, 250, 3)
+    # explicit native pins the canvas (mixed-size folders)
+    assert UTKFaceDataset(str(tmp_path), native=200).native == 200
+    # the probe cap bounds huge-photo folders
+    paths = [str(tmp_path / "20_Aaron_Johnson_0000.jpg")]
+    assert probe_native_size(paths, cap=128) == 128
+    assert probe_native_size([], default=200) == 200
+
+
+def test_create_dataset_probes_native_size(tmp_path):
+    """The CLI path: dataset_mode=aging with the default --native_size 0
+    auto-detects the canvas; an explicit --native_size pins it."""
+    import dataclasses
+    from PIL import Image
+    from pcgan_tpu.config import Config, DataConfig
+    from pcgan_tpu.data.loader import create_dataset
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 256, (250, 250, 3),
+                                     dtype=np.uint8)).save(
+            tmp_path / f"{30 + i}_1_0_x{i}.jpg", quality=95)
+    cfg = Config(data=DataConfig(dataroot=str(tmp_path),
+                                 dataset_mode="aging"))
+    assert create_dataset(cfg).native == 250
+    pinned = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, native_size=120))
+    assert create_dataset(pinned).native == 120

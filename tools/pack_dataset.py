@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--resize_method", default="bicubic",
                     choices=["bicubic", "bilinear", "nearest"])
     ap.add_argument("--max_dataset_size", type=int, default=-1)
+    ap.add_argument("--native_size", type=int, default=0,
+                    help="host-decode canvas in px; 0 (default) auto-detects "
+                         "from the first image (UTKFace 200, CACD 250 — "
+                         "uniform folders then pack with NO host resample)")
     ap.add_argument("--num_threads", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0,
                     help="synthetic source seed")
@@ -57,6 +61,7 @@ def main(argv=None):
             ap.error("--dataroot is required for --source aging/single")
         from pcgan_tpu.data.utkface import UTKFaceDataset
         ds = UTKFaceDataset(args.dataroot, max_size=args.max_dataset_size,
+                            native=args.native_size,
                             require_age=(args.source == "aging"))
 
     t0 = time.time()
