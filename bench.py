@@ -311,6 +311,8 @@ def main():
         p.error("--serving modifies --infer; pass both")
     if args.quant_int8 and not args.infer:
         p.error("--quant_int8 is inference-only here; pass --infer")
+    if args.packed and not args.e2e:
+        p.error("--packed modifies --e2e; pass both")
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
     from pcgan_tpu.platform import respect_env_platform
@@ -327,7 +329,7 @@ def main():
             data=DataConfig(batch_size=smoke_batch, crop_size=32,
                             load_size=36, n_age_bins=4),
             model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
-                              dtype="float32"),
+                              dtype="float32", quant_int8=args.quant_int8),
             train=TrainConfig(pool_size=8))
         steps = args.steps or 5
     else:
@@ -371,8 +373,6 @@ def main():
             "batch": cfg.data.batch_size}))
         return
 
-    if args.packed and not args.e2e:
-        p.error("--packed modifies --e2e; pass both")
     if args.e2e:
         value = measure_e2e(cfg, steps, packed=args.packed)
     else:

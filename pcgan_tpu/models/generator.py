@@ -174,7 +174,8 @@ class ResnetGenerator(nn.Module):
                 h = TorchConvTranspose(feats, 3, 2, 1, 1, use_bias=norm_bias,
                                        quant=self.quant_trunk, **kw)(h)
             else:
-                h = ResizeConv(feats, 2, use_bias=norm_bias, **kw)(h)
+                h = ResizeConv(feats, 2, use_bias=norm_bias,
+                               quant=self.quant_trunk, **kw)(h)
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.relu(h)
 

@@ -142,8 +142,10 @@ class TorchConv(nn.Module):
     lowch_matmul: bool = False
     # int8 PTQ inference path (--quant_int8, ops/quant.py): s8xs8->s32 on
     # the MXU at ~1.6x the bf16 rate. Inference-only NON-parity lever;
-    # routed for the plain conv branches only (the s2d/lowch and
-    # separated-cond forms keep their own measured-optimal lowerings).
+    # routed for the plain conv branches only — the s2d/lowch and
+    # fused_reflect branches take PRECEDENCE over quant by design (they are
+    # the tail/stem forms, which PTQ deliberately keeps in the compute
+    # dtype: image-edge layers are quality-sensitive and hold <3% of FLOPs).
     quant: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
@@ -176,6 +178,10 @@ class TorchConv(nn.Module):
         # for bf16 inputs regardless; f32 modules force HIGHEST precision.
         prec = _conv_precision(self.dtype)
         xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+        # the f32 kernel view the quant branches consume; sliced to the image
+        # channels when the cond channels are separated (the quant conv sees
+        # only xd, so the full concat-shaped param would shape-mismatch)
+        kf = kernel
         cond_bias = None
         if cond is not None:
             if not (self.pad_mode == "reflect" and self.stride == 1
@@ -188,6 +194,7 @@ class TorchConv(nn.Module):
             w_cond = jnp.sum(kd[:, :, xc:, :], axis=(0, 1))       # (nc, F)
             cond_bias = (cond.astype(self.dtype) @ w_cond)[:, None, None, :]
             kd = kd[:, :, :xc, :]
+            kf = kernel[:, :, :xc, :]
         lowch_r = 0
         if (self.lowch_matmul and self.pad_mode == "reflect"
                 and self.dtype == jnp.bfloat16 and self.stride == 1
@@ -214,7 +221,7 @@ class TorchConv(nn.Module):
         elif self.pad_mode == "zero":
             if self.quant:
                 from pcgan_tpu.ops.quant import int8_conv
-                y = int8_conv(xd, kernel, (self.stride, self.stride),
+                y = int8_conv(xd, kf, (self.stride, self.stride),
                               ((p, p), (p, p)), out_dtype=self.dtype,
                               act_scale=_act_quant_scale(self, xd))
             else:
@@ -227,7 +234,7 @@ class TorchConv(nn.Module):
                 # pad first; reflect/replicate padding cannot raise the
                 # absmax, so the pre-pad calibration scale is exact
                 from pcgan_tpu.ops.quant import int8_conv
-                y = int8_conv(pad2d(xd, p, self.pad_mode), kernel,
+                y = int8_conv(pad2d(xd, p, self.pad_mode), kf,
                               (self.stride, self.stride), ((0, 0), (0, 0)),
                               out_dtype=self.dtype,
                               act_scale=_act_quant_scale(self, xd))
@@ -372,6 +379,7 @@ class ResizeConv(nn.Module):
     features: int
     scale: int = 2
     use_bias: bool = True
+    quant: bool = False              # int8 PTQ inference path (ops/quant.py)
     dtype: Dtype = jnp.float32
     kernel_init: Callable = jax.nn.initializers.normal(0.02)
 
@@ -381,7 +389,8 @@ class ResizeConv(nn.Module):
         x = jax.image.resize(x, (n, h * self.scale, w * self.scale, c),
                              method="nearest")
         return TorchConv(self.features, 3, 1, 1, use_bias=self.use_bias,
-                         dtype=self.dtype, kernel_init=self.kernel_init)(x)
+                         quant=self.quant, dtype=self.dtype,
+                         kernel_init=self.kernel_init)(x)
 
 
 # --------------------------------------------------------------------------- #

@@ -29,6 +29,29 @@ _ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, _ROOT)
 
 
+def _calib_images(args, n: int, rng):
+    """n representative images for int8 activation-scale calibration, f32
+    [-1,1] NHWC at crop_size. Source preference: --calib_dataroot rows (real
+    data), else the synthetic face-like aging dataset; uniform noise only as
+    the last resort (non-3-channel contracts the image datasets can't fill).
+    """
+    import numpy as np
+    if args.input_nc != 3:
+        return rng.uniform(-1, 1, (n, args.crop_size, args.crop_size,
+                                   args.input_nc)).astype(np.float32)
+    from pcgan_tpu.data.loader import pil_resize_np
+    if args.calib_dataroot:
+        from pcgan_tpu.data.utkface import UTKFaceDataset
+        ds = UTKFaceDataset(args.calib_dataroot, require_age=False)
+    else:
+        from pcgan_tpu.data.synthetic import SyntheticAgingDataset
+        ds = SyntheticAgingDataset(size=n, seed=0)
+    idx = np.linspace(0, len(ds) - 1, n).astype(int)   # spread over the set
+    rows = np.stack([pil_resize_np(ds.get_raw(int(i))["image"],
+                                   args.crop_size) for i in idx])
+    return rows.astype(np.float32) / 127.5 - 1.0
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser()
@@ -74,11 +97,19 @@ def main(argv=None):
                         "(MXU int8 rate, ~1.2x serving throughput at 128px; "
                         "NON-parity: outputs differ at quantization-noise "
                         "level). Activation scales are calibrated at export "
-                        "time on --calib_batches random batches across all "
-                        "conditions and baked into the artifact")
+                        "time across random conditions on --calib_dataroot "
+                        "rows (real data — recommended) or synthetic "
+                        "face-like images, and baked into the artifact")
     p.add_argument("--calib_batches", type=int, default=4,
                    help="calibration batches for --quant_int8 static "
                         "activation scales")
+    p.add_argument("--calib_dataroot", default=None,
+                   help="with --quant_int8: folder of images to calibrate "
+                        "the static activation scales on (standard PTQ "
+                        "practice — internal activation ranges on REAL "
+                        "images are what the scales must bound; heavy-tailed "
+                        "peaks on structured faces can exceed what noise "
+                        "drives). Default: the synthetic face-like dataset")
     p.add_argument("--crop_size", type=int, default=128)
     p.add_argument("--n_age_bins", type=int, default=10)
     p.add_argument("--input_nc", type=int, default=3)
@@ -98,6 +129,12 @@ def main(argv=None):
 
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
 
+    if args.comparator_path and args.quant_int8:
+        # reject rather than silently exporting an unquantized comparator
+        # (the generator branch below is the only one that reads the flag)
+        raise SystemExit("--quant_int8 applies to generator exports only; "
+                         "the comparator exports f32 (scoring ranks "
+                         "near-ties — see --dtype help)")
     if args.comparator_path:
         from pcgan_tpu.eval_lib import load_comparator_bundle
         from pcgan_tpu.serving import export_comparator
@@ -154,18 +191,22 @@ def main(argv=None):
     g_vars = ckpt.restore_generator(template, args.checkpoints_dir, args.name,
                                     args.tag, use_ema=args.use_ema)
     if args.quant_int8:
-        # calibrate static activation scales on random [-1,1] images across
+        # calibrate static activation scales on representative IMAGES across
         # random conditions; the running absmaxes bake into the artifact as
-        # constants (no per-conv absmax pass at serve time). Approximation:
-        # real-data calibration would be tighter — uniform inputs are
-        # conservative (full input range exercised).
+        # constants (no per-conv absmax pass at serve time). Standard PTQ
+        # practice: the scales must bound INTERNAL activations (post-norm,
+        # post-relu) on the data the artifact will actually see — real rows
+        # via --calib_dataroot when available, else the synthetic face-like
+        # dataset (structured smooth-region images; far closer to faces than
+        # uniform noise, whose internal activations are near-Gaussian while
+        # real images drive heavy-tailed peaks).
         from pcgan_tpu.ops.quant import calibrate_quant
         crng = np.random.default_rng(0)
+        bs, n_cal = 8, max(1, args.calib_batches)
+        rows = _calib_images(args, n_cal * bs, crng)
         batches = []
-        for _ in range(max(1, args.calib_batches)):
-            imgs = jnp.asarray(crng.uniform(
-                -1, 1, (8, args.crop_size, args.crop_size, args.input_nc)),
-                jnp.float32)
+        for bi in range(n_cal):
+            imgs = jnp.asarray(rows[bi * bs:(bi + 1) * bs], jnp.float32)
             if cfg.cond_nc == args.n_age_bins:
                 cond = jnp.asarray(
                     np.eye(args.n_age_bins)[crng.integers(
@@ -174,8 +215,9 @@ def main(argv=None):
                 cond = jnp.asarray(crng.uniform(-1, 1, (8, 1)), jnp.float32)
             batches.append((imgs, cond))
         g_vars = calibrate_quant(G, g_vars, batches=batches, train=False)
-        print(f"calibrated int8 activation scales on "
-              f"{len(batches)} batches", flush=True)
+        src = args.calib_dataroot or "synthetic face-like images"
+        print(f"calibrated int8 activation scales on {len(batches)} "
+              f"batches from {src}", flush=True)
 
     out_dir = args.out_dir
     if out_dir is None:
