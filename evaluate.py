@@ -8,6 +8,8 @@
 Computes, in one pass over the eval set with device-resident stats:
   - FID between real images and generated images (targets = permuted real
     age bins, so the generated condition marginal matches the real one);
+  - with --kid, KID (unbiased small-sample MMD^2 metric) from the same
+    pass and feature space;
   - if a comparator checkpoint is given, condition accuracy: the fraction of
     fakes whose comparator score lands in the target bin's anchor interval.
 Prints one JSON line and appends to {results_dir}/{name}/eval.jsonl.

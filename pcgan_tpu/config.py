@@ -191,6 +191,13 @@ class RunConfig:
     # 'pth:<file>' (imported torchvision/pytorch-fid InceptionV3 —
     # externally comparable numbers)
     fid_features: str = "random"
+    # KID (ops/kid.py): unbiased small-sample companion metric to FID,
+    # computed from the SAME eval pass/features wherever FID runs
+    # (evaluate.py and in-training --eval_fid_epoch_freq). Off by default
+    # (FID is the reference-parity metric); beyond-reference opt-in.
+    kid: bool = False
+    kid_subsets: int = 100           # random subsets averaged (clean-fid default)
+    kid_subset_size: int = 1000      # features per subset (clamped to n)
     verbose: bool = False
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
@@ -316,6 +323,9 @@ _FLAG_MAP = {
     "use_ema": ("run", "use_ema"),
     "num_test": ("run", "num_test"),
     "fid_features": ("run", "fid_features"),
+    "kid": ("run", "kid"),
+    "kid_subsets": ("run", "kid_subsets"),
+    "kid_subset_size": ("run", "kid_subset_size"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
     # parallel
@@ -347,6 +357,15 @@ _FLAG_HELP = {
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "
                    "Default off: resize runs on device (TPU-native)",
+    "kid": "also compute KID (Kernel Inception Distance) from the same "
+           "eval pass/features as FID — the UNBIASED small-sample metric "
+           "(trustworthy at few-hundred-image budgets where FID's bias "
+           "dominates). Beyond-reference opt-in; adds kid/kid_std to "
+           "eval outputs",
+    "kid_subsets": "with --kid: number of random subsets the unbiased "
+                   "MMD^2 estimator averages over",
+    "kid_subset_size": "with --kid: features per subset (clamped to the "
+                       "eval budget when smaller)",
     "native_size": "square host-decode canvas in px for folder datasets; "
                    "0 (default) auto-detects from the first image "
                    "(UTKFace 200, CACD 250 — uniform-size folders then "

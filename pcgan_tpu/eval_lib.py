@@ -26,6 +26,10 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     feature sets into device-resident streaming stats. `comparator` is
     (C, c_vars, bin_lo, bin_hi[, bin_means]) for condition accuracy, or None.
 
+    --kid additionally retains the feature rows in device-resident buffers
+    and reports kid/kid_std from the same pass (ops/kid.py — the unbiased
+    small-sample companion metric).
+
     cond_mode=score: targets are the permuted real bins' score-ladder values
     (so the generated condition marginal still matches the real one), encoded
     through the comparator's bin-mean range when available.
@@ -41,6 +45,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     """
     nb = cfg.data.n_age_bins
     score_mode = cfg.model.cond_mode == "score"
+    kid_on = cfg.run.kid
     feature_fn, d = make_feature_extractor(cfg, comparator)
     pre = make_preprocess(cfg, train=False)
     if mesh is not None and mesh.shape.get("data", 1) <= 1:
@@ -74,7 +79,8 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             x, NamedSharding(mesh, P())), tree)
 
     @jax.jit
-    def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n):
+    def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n,
+                   bufs):
         from pcgan_tpu.data.binning import bin_to_score, normalize_score
         # PRNGKey(0) is deliberate: the eval transform (train=False) is a
         # deterministic center crop with no flip, so the key is never
@@ -92,8 +98,22 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         else:
             cond = bin_to_onehot(target_bin, nb)
         fake = G.apply(g_vars, real, cond, train=False)
-        r_stats = fid_ops.update_stats(r_stats, feature_fn(real))
-        f_stats = fid_ops.update_stats(f_stats, feature_fn(fake))
+        feats_r, feats_f = feature_fn(real), feature_fn(fake)
+        r_stats = fid_ops.update_stats(r_stats, feats_r)
+        f_stats = fid_ops.update_stats(f_stats, feats_f)
+        if bufs is not None:
+            # KID needs the raw feature rows (ops/kid.py): append this
+            # batch's features to the device-resident buffers at the
+            # running row cursor. The buffers are replicated on the mesh,
+            # so under distributed eval the sharded feature rows
+            # all-gather here — same replication point as the FID stats.
+            r_buf, f_buf, cursor = bufs
+            z = jnp.int32(0)
+            r_buf = jax.lax.dynamic_update_slice(
+                r_buf, feats_r.astype(jnp.float32), (cursor, z))
+            f_buf = jax.lax.dynamic_update_slice(
+                f_buf, feats_f.astype(jnp.float32), (cursor, z))
+            bufs = (r_buf, f_buf, cursor + feats_r.shape[0])
         if comparator is not None:
             C, c_vars, lo, hi = comparator
             mu, _ = C.apply(c_vars, fake, train=False)
@@ -102,7 +122,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             n = n + mu.shape[0]
         # keep the streaming stats replicated: the per-shard partial sums
         # all-reduce here (the 'psum' of the shard_map design, GSPMD-derived)
-        return _constrain_repl((r_stats, f_stats, hits, n))
+        return _constrain_repl((r_stats, f_stats, hits, n, bufs))
 
     def _put_batch(v):
         if mesh is None:
@@ -130,18 +150,43 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         # count those, keeping max_images a GLOBAL budget
         n_proc = jax.process_count() if mesh is not None else 1
         proc_idx = jax.process_index() if mesh is not None else 0
+        if kid_on and not max_images:
+            raise ValueError("--kid needs a finite eval budget "
+                             "(max_images > 0) to size its feature buffers")
         seen = 0
+        bufs = None
         for raw in raw_iter:
+            if kid_on and bufs is None:
+                # feature buffers sized once from the first GLOBAL batch:
+                # the loop stops after `seen >= max_images`, so the last
+                # write starts at most at row max_images - 1
+                cap = int(max_images) + raw["image"].shape[0] * n_proc
+                bufs = (jnp.zeros((cap, d), jnp.float32),
+                        jnp.zeros((cap, d), jnp.float32),
+                        jnp.zeros((), jnp.int32))
+                if mesh is not None:
+                    from pcgan_tpu.parallel.mesh import replicated
+                    bufs = jax.device_put(bufs, replicated(mesh))
             perm = _local_perm_slice(rng, raw["image"].shape[0],
                                      n_proc, proc_idx)
-            r_stats, f_stats, hits, n = eval_batch(
+            r_stats, f_stats, hits, n, bufs = eval_batch(
                 g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
-                _put_batch(perm), r_stats, f_stats, hits, n)
+                _put_batch(perm), r_stats, f_stats, hits, n, bufs)
             seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
         out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),
                "fid_images": seen}
+        if bufs is not None:
+            from pcgan_tpu.ops import kid as kid_ops
+            count = min(int(bufs[2]), bufs[0].shape[0])
+            if count >= 2:
+                km, ks = kid_ops.kid_from_features(
+                    bufs[0][:count], bufs[1][:count],
+                    subsets=cfg.run.kid_subsets,
+                    subset_size=cfg.run.kid_subset_size, seed=seed)
+                out["kid"] = float(km)
+                out["kid_std"] = float(ks)
         if comparator is not None and int(n) > 0:
             out["cond_accuracy"] = float(hits) / float(n)
         return out
