@@ -289,6 +289,13 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             "loss_D": d_sums[0] / n, "loss_D_real": d_sums[1] / n,
             "loss_D_fake": d_sums[2] / n,
         }
+        if t.skip_nonfinite > 0:
+            # cumulative skipped-update counts from the apply_if_finite
+            # wrapper make_optimizer added (same lever as the fused step)
+            metrics["notfinite_G"] = new_g_opt.total_notfinite.astype(
+                jnp.float32)
+            metrics["notfinite_D"] = new_d_opt.total_notfinite.astype(
+                jnp.float32)
         metrics = {k: psum_mean(v) for k, v in metrics.items()}
         if axis_name:
             new_g_state = jax.tree.map(psum_mean, new_g_state)

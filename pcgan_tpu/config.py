@@ -148,6 +148,16 @@ class TrainConfig:
     # optimizer semantics at batch_size/N activation memory (an exact-math
     # alternative to --remat when HBM binds; pcgan_tpu/accum.py)
     grad_accum: int = 1
+    # non-finite-gradient step skipping (0 = off, the reference's behavior:
+    # whatever grads come out get applied). N > 0 wraps BOTH optimizers in
+    # optax.apply_if_finite(N): a step whose global (post-pmean) grads
+    # contain inf/nan applies a zero update instead — params, Adam moments
+    # and the EMA twin all hold — and training continues; after N
+    # CONSECUTIVE bad steps the wrapper stops masking so a persistent
+    # divergence surfaces instead of spinning. The standard bf16 GAN
+    # robustness lever; per-net skip totals stream as notfinite_G/D.
+    # Changes the optimizer-state tree: must match the saved run on resume.
+    skip_nonfinite: int = 0
     # warm-start G from a G-only checkpoint ("<run_name>/<tag>", resolved
     # under --checkpoints_dir; "<tag>" alone uses the current run name).
     # The reference-migration path: tools/import_pth.py converts a
@@ -296,6 +306,7 @@ _FLAG_MAP = {
     "lambda_L1": ("train", "lambda_L1"),
     "lambda_cond": ("train", "lambda_cond"),
     "lambda_gp": ("train", "lambda_gp"),
+    "skip_nonfinite": ("train", "skip_nonfinite"),
     "pool_size": ("train", "pool_size"),
     "niter": ("train", "niter"),
     "niter_decay": ("train", "niter_decay"),
@@ -357,6 +368,14 @@ _FLAG_HELP = {
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "
                    "Default off: resize runs on device (TPU-native)",
+    "skip_nonfinite": "N > 0: a train step whose gradients contain inf/nan "
+                      "applies a ZERO update (params/Adam moments/EMA hold) "
+                      "instead of poisoning the run; after N consecutive "
+                      "bad steps updates pass through again so persistent "
+                      "divergence surfaces. bf16 GAN robustness lever "
+                      "beyond the reference (0 = off = parity). Changes "
+                      "the optimizer-state tree: must match the saved run "
+                      "when resuming",
     "kid": "also compute KID (Kernel Inception Distance) from the same "
            "eval pass/features as FID — the UNBIASED small-sample metric "
            "(trustworthy at few-hundred-image budgets where FID's bias "

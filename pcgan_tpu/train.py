@@ -113,8 +113,17 @@ class PlateauScheduler:
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    return optax.adam(make_lr_schedule(cfg, steps_per_epoch),
-                      b1=cfg.train.beta1, b2=cfg.train.beta2)
+    tx = optax.adam(make_lr_schedule(cfg, steps_per_epoch),
+                    b1=cfg.train.beta1, b2=cfg.train.beta2)
+    if cfg.train.skip_nonfinite > 0:
+        # bf16 GAN robustness lever (--skip_nonfinite, SURVEY.md SS6 failure
+        # detection row): inf/nan grads -> zero update (params, Adam moments
+        # and downstream EMA all hold); after N consecutive bad steps the
+        # wrapper passes updates through so persistent divergence surfaces.
+        # Applied here so the fused step, the grad-accum step and comparator
+        # pretraining all inherit it.
+        tx = optax.apply_if_finite(tx, cfg.train.skip_nonfinite)
+    return tx
 
 
 # --------------------------------------------------------------------------- #
@@ -415,6 +424,11 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             "loss_G_L1": l_g_l1, "loss_G_cond": l_g_cond,
             "loss_D": d_loss, "loss_D_real": l_d_real, "loss_D_fake": l_d_fake,
         }
+        if t.skip_nonfinite > 0:
+            # cumulative skipped-update counts; grads are psum'd BEFORE the
+            # wrapper sees them, so every device skips (or not) in lockstep
+            metrics["notfinite_G"] = new_g_opt.total_notfinite
+            metrics["notfinite_D"] = new_d_opt.total_notfinite
         metrics = {k: psum_mean(v.astype(jnp.float32))
                    for k, v in metrics.items()}
         if axis_name:

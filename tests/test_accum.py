@@ -191,3 +191,23 @@ def test_accum_under_model_axis_mesh():
     kern = next(le for le in jax.tree_util.tree_leaves(s2.g_params)
                 if le.ndim == 4 and le.shape[-1] % 2 == 0)
     assert kern.sharding.spec[-1] == "model"
+
+
+def test_accum_skip_nonfinite_holds_params():
+    """--skip_nonfinite composes with --grad_accum: one poisoned microbatch
+    poisons the accumulated grads, the zero update holds params, and
+    notfinite_G/D totals surface in the metrics."""
+    cfg = _cfg(grad_accum=2, skip_nonfinite=3)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_accum_train_step(cfg, G, D))
+    batch = _batch()
+    batch["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    s1, m1 = step(state, batch)
+    assert float(m1["notfinite_G"]) == 1.0 and float(m1["notfinite_D"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(s1.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2, m2 = step(s1, _batch())
+    assert float(m2["notfinite_G"]) == 1.0   # cumulative total holds
+    assert np.isfinite(float(m2["loss_G"]))

@@ -295,3 +295,45 @@ def test_ema_off_by_default():
     step = jax.jit(make_train_step(cfg, G, D))
     s1, _ = step(state, make_batch(0, cfg))
     assert s1.ema_params is None
+
+
+def test_skip_nonfinite_holds_params_then_recovers():
+    """--skip_nonfinite (SURVEY.md SS6 failure-detection row): a batch that
+    produces inf/nan gradients applies a ZERO update — params and Adam
+    moments hold — and the very next clean batch trains normally. Off by
+    default (reference parity: bad grads get applied)."""
+    cfg = tiny_cfg(skip_nonfinite=3)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    bad = make_batch(0, cfg)
+    bad["image"] = bad["image"].at[0, 0, 0, 0].set(jnp.nan)
+    s1, m1 = step(state, bad)
+    # the poisoned forward makes every grad nonfinite -> both updates skip
+    assert float(m1["notfinite_G"]) == 1.0 and float(m1["notfinite_D"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(s1.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.d_params),
+                    jax.tree.leaves(s1.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # clean batch right after: updates resume, losses finite
+    s2, m2 = step(s1, make_batch(1, cfg))
+    assert float(m2["notfinite_G"]) == 1.0   # total, not incremented now
+    for k in ("loss_G", "loss_D"):
+        assert np.isfinite(float(m2[k])), (k, m2[k])
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree.leaves(s1.g_params),
+                        jax.tree.leaves(s2.g_params)))
+    assert moved
+
+
+def test_skip_nonfinite_off_keeps_reference_state_tree():
+    """Default 0 must not wrap the optimizer (checkpoint compatibility)."""
+    cfg = tiny_cfg()
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    assert not hasattr(state.g_opt, "total_notfinite")
+    _, m = jax.jit(make_train_step(cfg, G, D))(state, make_batch(0, cfg))
+    assert "notfinite_G" not in m
