@@ -208,6 +208,11 @@ class RunConfig:
     kid: bool = False
     kid_subsets: int = 100           # random subsets averaged (clean-fid default)
     kid_subset_size: int = 1000      # features per subset (clamped to n)
+    # per-age-bin conditional FID: FID between bin-b reals and bin-b-targeted
+    # fakes for every bin (the per-age-group breakdown aging papers report;
+    # a good marginal FID can hide a collapsed extreme age). onehot mode
+    # only; beyond-reference opt-in.
+    fid_per_bin: bool = False
     verbose: bool = False
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
@@ -337,6 +342,7 @@ _FLAG_MAP = {
     "kid": ("run", "kid"),
     "kid_subsets": ("run", "kid_subsets"),
     "kid_subset_size": ("run", "kid_subset_size"),
+    "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
     # parallel
@@ -385,6 +391,11 @@ _FLAG_HELP = {
                    "MMD^2 estimator averages over",
     "kid_subset_size": "with --kid: features per subset (clamped to the "
                        "eval budget when smaller)",
+    "fid_per_bin": "also report conditional FID per age bin (fid_bin_<b> + "
+                   "fid_per_bin_mean): bin-b reals vs bin-b-targeted fakes "
+                   "— catches a collapsed extreme age a good marginal FID "
+                   "hides. onehot mode only; bins with <2 rows on either "
+                   "side are skipped",
     "native_size": "square host-decode canvas in px for folder datasets; "
                    "0 (default) auto-detects from the first image "
                    "(UTKFace 200, CACD 250 — uniform-size folders then "

@@ -46,6 +46,11 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     nb = cfg.data.n_age_bins
     score_mode = cfg.model.cond_mode == "score"
     kid_on = cfg.run.kid
+    per_bin = cfg.run.fid_per_bin
+    if per_bin and score_mode:
+        raise ValueError("--fid_per_bin needs discrete age bins "
+                         "(cond_mode=onehot); score mode has no bins")
+    retain = kid_on or per_bin   # both need raw feature rows kept on device
     feature_fn, d = make_feature_extractor(cfg, comparator)
     pre = make_preprocess(cfg, train=False)
     if mesh is not None and mesh.shape.get("data", 1) <= 1:
@@ -102,18 +107,25 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         r_stats = fid_ops.update_stats(r_stats, feats_r)
         f_stats = fid_ops.update_stats(f_stats, feats_f)
         if bufs is not None:
-            # KID needs the raw feature rows (ops/kid.py): append this
-            # batch's features to the device-resident buffers at the
+            # KID / per-bin FID need the raw feature rows (ops/kid.py,
+            # _per_bin_fid): append this batch's features — and each row's
+            # real/target bin — to the device-resident buffers at the
             # running row cursor. The buffers are replicated on the mesh,
             # so under distributed eval the sharded feature rows
             # all-gather here — same replication point as the FID stats.
-            r_buf, f_buf, cursor = bufs
+            r_buf, f_buf, rb_buf, fb_buf, cursor = bufs
             z = jnp.int32(0)
             r_buf = jax.lax.dynamic_update_slice(
                 r_buf, feats_r.astype(jnp.float32), (cursor, z))
             f_buf = jax.lax.dynamic_update_slice(
                 f_buf, feats_f.astype(jnp.float32), (cursor, z))
-            bufs = (r_buf, f_buf, cursor + feats_r.shape[0])
+            if not score_mode:
+                rb_buf = jax.lax.dynamic_update_slice(
+                    rb_buf, bins.astype(jnp.int32), (cursor,))
+                fb_buf = jax.lax.dynamic_update_slice(
+                    fb_buf, target_bin.astype(jnp.int32), (cursor,))
+            bufs = (r_buf, f_buf, rb_buf, fb_buf,
+                    cursor + feats_r.shape[0])
         if comparator is not None:
             C, c_vars, lo, hi = comparator
             mu, _ = C.apply(c_vars, fake, train=False)
@@ -150,19 +162,21 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         # count those, keeping max_images a GLOBAL budget
         n_proc = jax.process_count() if mesh is not None else 1
         proc_idx = jax.process_index() if mesh is not None else 0
-        if kid_on and not max_images:
-            raise ValueError("--kid needs a finite eval budget "
-                             "(max_images > 0) to size its feature buffers")
+        if retain and not max_images:
+            raise ValueError("--kid/--fid_per_bin need a finite eval budget "
+                             "(max_images > 0) to size the feature buffers")
         seen = 0
         bufs = None
         for raw in raw_iter:
-            if kid_on and bufs is None:
+            if retain and bufs is None:
                 # feature buffers sized once from the first GLOBAL batch:
                 # the loop stops after `seen >= max_images`, so the last
                 # write starts at most at row max_images - 1
                 cap = int(max_images) + raw["image"].shape[0] * n_proc
                 bufs = (jnp.zeros((cap, d), jnp.float32),
                         jnp.zeros((cap, d), jnp.float32),
+                        jnp.zeros((cap,), jnp.int32),
+                        jnp.zeros((cap,), jnp.int32),
                         jnp.zeros((), jnp.int32))
                 if mesh is not None:
                     from pcgan_tpu.parallel.mesh import replicated
@@ -178,20 +192,60 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),
                "fid_images": seen}
         if bufs is not None:
-            from pcgan_tpu.ops import kid as kid_ops
-            count = min(int(bufs[2]), bufs[0].shape[0])
-            if count >= 2:
+            count = min(int(bufs[4]), bufs[0].shape[0])
+            if kid_on and count >= 2:
+                from pcgan_tpu.ops import kid as kid_ops
                 km, ks = kid_ops.kid_from_features(
                     bufs[0][:count], bufs[1][:count],
                     subsets=cfg.run.kid_subsets,
                     subset_size=cfg.run.kid_subset_size, seed=seed)
                 out["kid"] = float(km)
                 out["kid_std"] = float(ks)
+            if per_bin and count >= 2:
+                out.update(_per_bin_fid(
+                    bufs[0][:count], bufs[2][:count],
+                    bufs[1][:count], bufs[3][:count], nb))
         if comparator is not None and int(n) > 0:
             out["cond_accuracy"] = float(hits) / float(n)
         return out
 
     return run
+
+
+def _per_bin_fid(feats_r, bins_r, feats_f, bins_f, nb: int):
+    """Per-age-bin conditional FID (--fid_per_bin): FID between the real
+    images OF bin b and the fakes GENERATED AT bin b, for every b — the
+    per-age-group quality breakdown face-aging papers report (a model can
+    hold a good marginal FID while collapsing one extreme age).
+
+    Static-shape/TPU-friendly: per-bin moment stats via one-hot matmuls
+    (no boolean gathers), then fid_from_stats vmapped over the bin axis.
+    Bins with fewer than 2 rows on either side are skipped (singular cov).
+    Returns {fid_bin_<b>: ...} plus fid_per_bin_mean over computed bins.
+    """
+    from pcgan_tpu.ops.fid import FIDStats, fid_from_stats
+
+    @jax.jit
+    def compute(fr, br, ff, bf):
+        def stats(f, b):
+            oh = jax.nn.one_hot(b, nb, dtype=jnp.float32)        # (n, nb)
+            return FIDStats(count=jnp.sum(oh, axis=0),           # (nb,)
+                            s=oh.T @ f,                          # (nb, d)
+                            ss=jnp.einsum("ni,nd,ne->ide", oh, f, f))
+        sr, sf = stats(fr, br), stats(ff, bf)
+        fids = jax.vmap(fid_from_stats)(sr, sf)                  # (nb,)
+        return fids, sr.count, sf.count
+
+    fids, cnt_r, cnt_f = jax.device_get(
+        compute(feats_r, bins_r, feats_f, bins_f))
+    out, vals = {}, []
+    for b in range(nb):
+        if cnt_r[b] >= 2 and cnt_f[b] >= 2:
+            out[f"fid_bin_{b}"] = float(fids[b])
+            vals.append(float(fids[b]))
+    if vals:
+        out["fid_per_bin_mean"] = sum(vals) / len(vals)
+    return out
 
 
 def _local_perm_slice(rng, local_n: int, n_proc: int, proc_idx: int):

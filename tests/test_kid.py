@@ -118,3 +118,79 @@ def test_evaluator_kid_off_by_default():
                          train=False)
     out = make_fid_evaluator(cfg, G)(g_vars, _raw_iter(), max_images=16)
     assert "kid" not in out
+
+
+def test_per_bin_fid_single_bin_matches_marginal():
+    """With every real row and every target in bin 0, fid_bin_0 must equal
+    the marginal FID (same rows, same feature space — per-bin stats via
+    one-hot matmuls vs the streaming path)."""
+    from pcgan_tpu.config import RunConfig
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G, init_params
+
+    cfg = dataclasses.replace(
+        _eval_cfg(), run=RunConfig(kid=False, fid_per_bin=True))
+    G = define_G(cfg)
+    g_vars = init_params(G, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
+                         train=False)
+
+    def one_bin_iter():
+        r = np.random.default_rng(11)
+        for _ in range(2):
+            yield {"image": r.integers(0, 255, (8, 40, 40, 3), np.uint8),
+                   "bin": np.zeros((8,), np.int32)}
+
+    out = make_fid_evaluator(cfg, G)(g_vars, one_bin_iter(), max_images=16,
+                                     seed=5)
+    assert "fid_bin_0" in out and "fid_per_bin_mean" in out
+    # bins 1..3 hold no rows -> skipped, not reported as garbage
+    assert not any(f"fid_bin_{b}" in out for b in (1, 2, 3))
+    np.testing.assert_allclose(out["fid_bin_0"], out["fid"],
+                               rtol=1e-3, atol=1e-4)
+    assert out["fid_per_bin_mean"] == out["fid_bin_0"]
+
+
+def test_per_bin_fid_reports_all_populated_bins():
+    from pcgan_tpu.config import RunConfig
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G, init_params
+
+    cfg = dataclasses.replace(
+        _eval_cfg(), run=RunConfig(kid=True, kid_subsets=4,
+                                   kid_subset_size=16, fid_per_bin=True))
+    G = define_G(cfg)
+    g_vars = init_params(G, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
+                         train=False)
+
+    def raw_iter():
+        r = np.random.default_rng(13)
+        for _ in range(4):
+            yield {"image": r.integers(0, 255, (8, 40, 40, 3), np.uint8),
+                   # every bin gets 2 rows per batch -> 8 rows per bin total
+                   "bin": np.tile(np.arange(4, dtype=np.int32), 2)}
+
+    out = make_fid_evaluator(cfg, G)(g_vars, raw_iter(), max_images=32,
+                                     seed=5)
+    # targets are permuted real bins, so every bin also has >=2 fakes w.h.p.
+    present = [b for b in range(4) if f"fid_bin_{b}" in out]
+    assert len(present) >= 3, out
+    for b in present:
+        assert np.isfinite(out[f"fid_bin_{b}"])
+    assert "kid" in out   # composes with --kid on the same buffers
+
+
+def test_per_bin_fid_rejects_score_mode():
+    import pytest
+    from pcgan_tpu.config import ModelConfig, RunConfig
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G
+
+    cfg = dataclasses.replace(
+        _eval_cfg(),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, dtype="float32",
+                          cond_mode="score"),
+        run=RunConfig(fid_per_bin=True))
+    with pytest.raises(ValueError, match="fid_per_bin"):
+        make_fid_evaluator(cfg, define_G(cfg))
