@@ -65,6 +65,9 @@ def main(argv=None):
     elif n_data > 1:
         print(f"eval: sharding batches across {n_data} devices", flush=True)
 
+    if (cfg.run.kid or cfg.run.fid_per_bin) and cfg.run.num_test <= 0:
+        raise SystemExit("--kid/--fid_per_bin need a finite --num_test "
+                         "budget (>0) to size their feature buffers")
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
     ds = data_loader.create_dataset(cfg, train=False)
     # multi-process pods: each host loads a disjoint per-host slice that

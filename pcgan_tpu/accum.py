@@ -277,6 +277,10 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             step_f = state.step.astype(jnp.float32)
             d = jnp.minimum(jnp.float32(t.ema_decay),
                             (1.0 + step_f) / (10.0 + step_f))
+            if t.skip_nonfinite > 0:
+                # hold the EMA twin on skipped non-finite steps (see the
+                # twin comment in train.py — d=1 makes the blend a no-op)
+                d = jnp.where(new_g_opt.last_finite, d, jnp.float32(1.0))
             new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
                                    state.ema_params, new_g_params)
         else:

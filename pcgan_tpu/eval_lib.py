@@ -181,6 +181,15 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                 if mesh is not None:
                     from pcgan_tpu.parallel.mesh import replicated
                     bufs = jax.device_put(bufs, replicated(mesh))
+            if bufs is not None and (
+                    seen + raw["image"].shape[0] * n_proc > bufs[0].shape[0]):
+                # a later batch grew past the first-batch sizing; refusing
+                # beats dynamic_update_slice's silent index clamp, which
+                # would overwrite earlier feature rows
+                raise ValueError(
+                    f"eval batch at row {seen} exceeds the KID/per-bin "
+                    f"feature buffers ({bufs[0].shape[0]} rows, sized from "
+                    f"the first batch); feed fixed-size batches")
             perm = _local_perm_slice(rng, raw["image"].shape[0],
                                      n_proc, proc_idx)
             r_stats, f_stats, hits, n, bufs = eval_batch(
@@ -212,6 +221,26 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     return run
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _per_bin_fid_device(fr, br, ff, bf, nb: int):
+    """Module-level jit (a per-call closure would retrace the vmapped
+    double-eigh on every eval epoch — jit caches on function identity)."""
+    from pcgan_tpu.ops.fid import FIDStats, fid_from_stats
+
+    def stats(f, b):
+        oh = jax.nn.one_hot(b, nb, dtype=jnp.float32)        # (n, nb)
+        return FIDStats(count=jnp.sum(oh, axis=0),           # (nb,)
+                        s=oh.T @ f,                          # (nb, d)
+                        ss=jnp.einsum("ni,nd,ne->ide", oh, f, f))
+
+    sr, sf = stats(fr, br), stats(ff, bf)
+    fids = jax.vmap(fid_from_stats)(sr, sf)                  # (nb,)
+    return fids, sr.count, sf.count
+
+
 def _per_bin_fid(feats_r, bins_r, feats_f, bins_f, nb: int):
     """Per-age-bin conditional FID (--fid_per_bin): FID between the real
     images OF bin b and the fakes GENERATED AT bin b, for every b — the
@@ -223,21 +252,8 @@ def _per_bin_fid(feats_r, bins_r, feats_f, bins_f, nb: int):
     Bins with fewer than 2 rows on either side are skipped (singular cov).
     Returns {fid_bin_<b>: ...} plus fid_per_bin_mean over computed bins.
     """
-    from pcgan_tpu.ops.fid import FIDStats, fid_from_stats
-
-    @jax.jit
-    def compute(fr, br, ff, bf):
-        def stats(f, b):
-            oh = jax.nn.one_hot(b, nb, dtype=jnp.float32)        # (n, nb)
-            return FIDStats(count=jnp.sum(oh, axis=0),           # (nb,)
-                            s=oh.T @ f,                          # (nb, d)
-                            ss=jnp.einsum("ni,nd,ne->ide", oh, f, f))
-        sr, sf = stats(fr, br), stats(ff, bf)
-        fids = jax.vmap(fid_from_stats)(sr, sf)                  # (nb,)
-        return fids, sr.count, sf.count
-
     fids, cnt_r, cnt_f = jax.device_get(
-        compute(feats_r, bins_r, feats_f, bins_f))
+        _per_bin_fid_device(feats_r, bins_r, feats_f, bins_f, nb))
     out, vals = {}, []
     for b in range(nb):
         if cnt_r[b] >= 2 and cnt_f[b] >= 2:

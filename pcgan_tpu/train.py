@@ -414,6 +414,12 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             step_f = state.step.astype(jnp.float32)
             d = jnp.minimum(jnp.float32(t.ema_decay),
                             (1.0 + step_f) / (10.0 + step_f))
+            if t.skip_nonfinite > 0:
+                # a skipped (non-finite) step must hold the EMA twin too:
+                # new_g_params == g_params there, but the blend would still
+                # pull the safe EMA snapshot toward the live params by (1-d)
+                # per skipped step — exactly the drift the lever prevents
+                d = jnp.where(new_g_opt.last_finite, d, jnp.float32(1.0))
             new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
                                    state.ema_params, new_g_params)
         else:

@@ -337,3 +337,28 @@ def test_skip_nonfinite_off_keeps_reference_state_tree():
     assert not hasattr(state.g_opt, "total_notfinite")
     _, m = jax.jit(make_train_step(cfg, G, D))(state, make_batch(0, cfg))
     assert "notfinite_G" not in m
+
+
+def test_skip_nonfinite_holds_ema_twin():
+    """A skipped non-finite step must hold the EMA twin too — the blend
+    would otherwise pull the safe EMA snapshot toward the (unchanged but
+    about-to-diverge) live params by (1-d) per skipped step."""
+    cfg = tiny_cfg(skip_nonfinite=3, ema_decay=0.999)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    step = jax.jit(make_train_step(cfg, G, D))
+    # one clean step first so EMA != params (the init copies them)
+    s1, _ = step(state, make_batch(0, cfg))
+    bad = make_batch(1, cfg)
+    bad["image"] = bad["image"].at[0, 0, 0, 0].set(jnp.nan)
+    s2, m2 = step(s1, bad)
+    assert float(m2["notfinite_G"]) == 1.0
+    for a, b in zip(jax.tree.leaves(s1.ema_params),
+                    jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # clean step after: EMA moves again
+    s3, _ = step(s2, make_batch(2, cfg))
+    moved = any(float(jnp.max(jnp.abs(a - b))) > 0
+                for a, b in zip(jax.tree.leaves(s2.ema_params),
+                                jax.tree.leaves(s3.ema_params)))
+    assert moved

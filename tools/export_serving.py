@@ -42,7 +42,13 @@ def _calib_images(args, n: int, rng):
     from pcgan_tpu.data.loader import pil_resize_np
     if args.calib_dataroot:
         from pcgan_tpu.data.utkface import UTKFaceDataset
-        ds = UTKFaceDataset(args.calib_dataroot, require_age=False)
+        # native=0: auto-detect the folder's canvas (250px CACD rows must
+        # not be double-resampled through the 200px UTKFace default — the
+        # calibration should see exactly what serving will see), capped at
+        # 2x the crop the rows are resized to below
+        ds = UTKFaceDataset(args.calib_dataroot, require_age=False,
+                            native=0,
+                            native_cap=max(200, 2 * args.crop_size))
     else:
         from pcgan_tpu.data.synthetic import SyntheticAgingDataset
         ds = SyntheticAgingDataset(size=n, seed=0)

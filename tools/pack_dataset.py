@@ -60,9 +60,20 @@ def main(argv=None):
         if not args.dataroot:
             ap.error("--dataroot is required for --source aging/single")
         from pcgan_tpu.data.utkface import UTKFaceDataset
+        # cap the auto-probed canvas like the live loader does (a folder of
+        # 4000px photos must not silently become 27 MB/row memmap entries);
+        # with no --resize_to there is no target to cap against, so the
+        # probe result is announced below instead
+        cap = max(200, 2 * args.resize_to) if args.resize_to > 0 else 0
         ds = UTKFaceDataset(args.dataroot, max_size=args.max_dataset_size,
-                            native=args.native_size,
+                            native=args.native_size, native_cap=cap,
                             require_age=(args.source == "aging"))
+        row = args.resize_to if args.resize_to > 0 else ds.out_size
+        hint = ("" if args.resize_to > 0
+                else " — pass --resize_to or --native_size to shrink")
+        print(f"decode canvas: {ds.out_size}px "
+              f"({'probed' if args.native_size == 0 else 'pinned'}); "
+              f"pack rows: {row}x{row}x3 u8{hint}", flush=True)
 
     t0 = time.time()
     meta = write_pack(ds, args.out, resize_to=args.resize_to,

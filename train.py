@@ -208,6 +208,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     if t.eval_fid_epoch_freq > 0:
         from pcgan_tpu.data.loader import make_process_loader, with_bins
         from pcgan_tpu.eval_lib import make_fid_evaluator
+        if (cfg.run.kid or cfg.run.fid_per_bin) and t.eval_fid_images <= 0:
+            # fail at startup, not hours in at the first epoch-end eval
+            raise SystemExit(
+                "--kid/--fid_per_bin need a finite --eval_fid_images "
+                "budget (>0) to size their feature buffers")
         # host snapshots: the train step DONATES its state buffers, so any
         # device array captured here would be deleted after the first step
         cmp_bundle = (C, jax.device_get(c_vars),
