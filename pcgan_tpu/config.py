@@ -69,6 +69,13 @@ class DataConfig:
     max_age: int = 116               # UTKFace age range upper bound
     pallas_pipeline: bool = True     # fused on-device crop/flip/normalize
     prefetch: int = 2                # device-prefetch depth
+    # upload the WHOLE dataset to HBM once (u8 canvases, replicated over the
+    # mesh) and gather batches on device — per-step host->device traffic
+    # drops to the batch indices (~bytes). Beyond-reference perf lever for
+    # datasets that fit HBM (UTKFace@200px ~= 2.3 GiB / 20k images); the
+    # sample stream is bit-identical to the host Loader (pinned by test).
+    # Single-process only; 0 = off = stream from the host (parity default).
+    device_cache: bool = False
 
 
 @dataclass(frozen=True)
@@ -208,6 +215,12 @@ class RunConfig:
     kid: bool = False
     kid_subsets: int = 100           # random subsets averaged (clean-fid default)
     kid_subset_size: int = 1000      # features per subset (clamped to n)
+    # precision/recall/density/coverage (ops/prdc.py): k-NN manifold metrics
+    # factoring a bad FID into lost FIDELITY (precision/density) vs lost
+    # DIVERSITY (recall/coverage), from the SAME eval pass/features. Off by
+    # default (FID is the reference-parity metric); beyond-reference opt-in.
+    prdc: bool = False
+    prdc_k: int = 5                  # k-NN neighborhood size (prdc-pkg default)
     # per-age-bin conditional FID: FID between bin-b reals and bin-b-targeted
     # fakes for every bin (the per-age-group breakdown aging papers report;
     # a good marginal FID can hide a collapsed extreme age). onehot mode
@@ -281,6 +294,7 @@ _FLAG_MAP = {
     "n_age_bins": ("data", "n_age_bins"),
     "pallas_pipeline": ("data", "pallas_pipeline"),
     "prefetch": ("data", "prefetch"),
+    "device_cache": ("data", "device_cache"),
     "model": ("model", "model"),
     "netG": ("model", "netG"),
     "netD": ("model", "netD"),
@@ -342,6 +356,8 @@ _FLAG_MAP = {
     "kid": ("run", "kid"),
     "kid_subsets": ("run", "kid_subsets"),
     "kid_subset_size": ("run", "kid_subset_size"),
+    "prdc": ("run", "prdc"),
+    "prdc_k": ("run", "prdc_k"),
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
@@ -391,6 +407,13 @@ _FLAG_HELP = {
                    "MMD^2 estimator averages over",
     "kid_subset_size": "with --kid: features per subset (clamped to the "
                        "eval budget when smaller)",
+    "prdc": "also report precision/recall/density/coverage (k-NN manifold "
+            "metrics, Kynkaanniemi 2019 / Naeem 2020) from the same eval "
+            "pass/features as FID — factors a bad score into lost fidelity "
+            "(precision/density) vs lost diversity (recall/coverage). "
+            "Beyond-reference opt-in",
+    "prdc_k": "with --prdc: k-NN neighborhood size (needs eval budget > k "
+              "per side; 5 = the reference prdc package default)",
     "fid_per_bin": "also report conditional FID per age bin (fid_bin_<b> + "
                    "fid_per_bin_mean): bin-b reals vs bin-b-targeted fakes "
                    "— catches a collapsed extreme age a good marginal FID "
@@ -422,6 +445,11 @@ _FLAG_HELP = {
                "print_networks)",
     "init_g_from": "warm-start G from a G-only checkpoint "
                    "('<run_name>/<tag>'), e.g. an imported reference .pth",
+    "device_cache": "upload the whole dataset to HBM once and gather "
+                    "batches ON DEVICE — per-step host->device traffic "
+                    "drops to the batch indices. Beyond-reference perf "
+                    "lever for datasets that fit HBM; sample stream is "
+                    "bit-identical to the host Loader. Single-process only",
 }
 
 

@@ -1,0 +1,122 @@
+"""--device_cache: the whole dataset resident in device memory, batches
+gathered on device (pcgan_tpu/data/device_cache.py). The lever's contract is
+that it changes WHERE bytes live, never WHAT the model sees: the sample
+stream — and therefore the whole metric stream — must be bit-identical to
+the streaming host Loader (SURVEY.md SS2 C10 data pipeline; beyond-reference
+perf lever, parity-by-default convention)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from pcgan_tpu.config import parse_config
+from pcgan_tpu.data import loader as data_loader
+from pcgan_tpu.data.device_cache import DeviceCacheLoader
+from pcgan_tpu.data.loader import with_bins
+from pcgan_tpu.parallel import make_mesh
+
+
+def _cfg(extra=()):
+    return parse_config([
+        "--dataset_mode", "synthetic", "--max_dataset_size", "40",
+        "--batch_size", "8", "--crop_size", "32", "--load_size", "36",
+        "--dtype", "float32", *extra], is_train=True)
+
+
+def test_stream_parity_with_host_loader():
+    """Every epoch's batches (values AND order) match the host path, and
+    come out sharded on the mesh data axis."""
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    ld = data_loader.make_process_loader(cfg, ds, shuffle=True, seed=3)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3)
+    assert len(ld) == len(dc)
+    for _ in range(2):
+        host = list(with_bins(iter(ld), cfg.data.n_age_bins,
+                              cfg.data.max_age))
+        dev = list(iter(dc))
+        assert len(host) == len(dev)
+        for hb, db in zip(host, dev):
+            assert set(hb) == set(db)
+            for k in hb:
+                assert np.array_equal(hb[k], np.asarray(db[k])), k
+            assert db["image"].dtype == np.uint8
+            assert db["image"].sharding.spec[0] == "data"
+
+
+def test_skip_next_index_level_resume():
+    """Mid-epoch resume parity: skip_next drops the same leading batches the
+    host Loader would (the epoch permutation is seeded)."""
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    ld = data_loader.make_process_loader(cfg, ds, shuffle=True, seed=3)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3)
+    ld.epoch = dc.epoch = 4
+    ld.skip_next = dc.skip_next = 2
+    host = list(with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age))
+    dev = list(iter(dc))
+    assert len(host) == len(dev) == len(ld) - 2
+    for hb, db in zip(host, dev):
+        assert np.array_equal(hb["image"], np.asarray(db["image"]))
+    # the skip is one-shot
+    assert dc.skip_next == 0 and len(list(iter(dc))) == len(dc)
+
+
+def test_composes_with_multi_axis_mesh():
+    """A data x spatial mesh: the gather's out-sharding names only the data
+    axis; spatial partitioning happens later inside the GSPMD step."""
+    cfg = _cfg()
+    mesh = make_mesh((4, 2), ("data", "spatial"))
+    ds = data_loader.create_dataset(cfg, train=True)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=False, seed=0)
+    b = next(iter(dc))
+    assert b["image"].shape[0] == cfg.data.batch_size
+    assert b["image"].sharding.spec[0] == "data"
+
+
+def test_rejects_dataset_smaller_than_batch():
+    cfg = _cfg(["--max_dataset_size", "4"])
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    with pytest.raises(SystemExit, match="rows < batch_size"):
+        DeviceCacheLoader(cfg, ds, mesh)
+
+
+@pytest.mark.slow
+def test_cli_metric_stream_identical(tmp_path):
+    """train.py --device_cache produces the SAME metrics.jsonl loss stream
+    as the host path for the same seed — the end-to-end form of the parity
+    contract, through the real CLI."""
+    import train as train_cli
+
+    common = [
+        "--dataset_mode", "synthetic", "--max_dataset_size", "40",
+        "--batch_size", "8", "--crop_size", "32", "--load_size", "36",
+        "--netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
+        "--niter", "2", "--niter_decay", "0", "--print_freq", "2",
+        "--display_freq", "1000", "--save_latest_freq", "0",
+        "--save_epoch_freq", "0", "--lambda_cond", "0",
+        "--pool_size", "8", "--dtype", "float32",
+    ]
+
+    def losses(path):
+        out = []
+        for line in open(path):
+            rec = json.loads(line)
+            out.append({k: v for k, v in rec.items()
+                        if k.startswith("loss")})
+        return out
+
+    train_cli.main(common + ["--name", "host", "--checkpoints_dir",
+                             str(tmp_path)])
+    train_cli.main(common + ["--name", "cached", "--checkpoints_dir",
+                             str(tmp_path), "--device_cache"])
+    a = losses(os.path.join(tmp_path, "host", "metrics.jsonl"))
+    b = losses(os.path.join(tmp_path, "cached", "metrics.jsonl"))
+    assert a and a == b

@@ -66,6 +66,15 @@ def main(argv=None):
         ld = data_loader.make_process_loader(
             cfg, ds, shuffle=not cfg.data.serial_batches,
             seed=cfg.train.seed)
+        if cfg.data.device_cache:
+            # --device_cache: the whole dataset rides to HBM once; epochs
+            # gather batches on device (same shuffle seeding as the host
+            # Loader, so the sample stream — and exact resume — is
+            # unchanged). Eval loaders keep streaming from ld.ds.
+            from pcgan_tpu.data.device_cache import DeviceCacheLoader
+            ld = DeviceCacheLoader(cfg, ds, mesh,
+                                   shuffle=not cfg.data.serial_batches,
+                                   seed=cfg.train.seed)
         steps_per_epoch = max(1, len(ld))
         print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
               f"{steps_per_epoch} steps/epoch", flush=True)
@@ -84,6 +93,14 @@ def _epoch_iter(cfg, ld, mesh, skip: int = 0):
     the batches the restored step count already consumed."""
     from pcgan_tpu.data.loader import device_prefetch, with_bins
     from pcgan_tpu.parallel.mesh import put_global_batch
+
+    if getattr(ld, "is_device_cache", False):
+        # batches come out of an on-device gather, already sharded on the
+        # data axis with bins attached — no host decode/transfer/prefetch
+        # stage exists on this path (dispatch is async; gathers pipeline
+        # with the step)
+        ld.skip_next = skip
+        return iter(ld)
 
     def shard_puts(it):
         for b in it:
@@ -208,10 +225,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     if t.eval_fid_epoch_freq > 0:
         from pcgan_tpu.data.loader import make_process_loader, with_bins
         from pcgan_tpu.eval_lib import make_fid_evaluator
-        if (cfg.run.kid or cfg.run.fid_per_bin) and t.eval_fid_images <= 0:
+        if (cfg.run.kid or cfg.run.fid_per_bin or cfg.run.prdc
+                ) and t.eval_fid_images <= 0:
             # fail at startup, not hours in at the first epoch-end eval
             raise SystemExit(
-                "--kid/--fid_per_bin need a finite --eval_fid_images "
+                "--kid/--fid_per_bin/--prdc need a finite --eval_fid_images "
                 "budget (>0) to size their feature buffers")
         # host snapshots: the train step DONATES its state buffers, so any
         # device array captured here would be deleted after the first step
