@@ -47,10 +47,12 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     score_mode = cfg.model.cond_mode == "score"
     kid_on = cfg.run.kid
     per_bin = cfg.run.fid_per_bin
+    prdc_on = cfg.run.prdc
     if per_bin and score_mode:
         raise ValueError("--fid_per_bin needs discrete age bins "
                          "(cond_mode=onehot); score mode has no bins")
-    retain = kid_on or per_bin   # both need raw feature rows kept on device
+    # all three need raw feature rows kept on device
+    retain = kid_on or per_bin or prdc_on
     feature_fn, d = make_feature_extractor(cfg, comparator)
     pre = make_preprocess(cfg, train=False)
     if mesh is not None and mesh.shape.get("data", 1) <= 1:
@@ -163,8 +165,9 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         n_proc = jax.process_count() if mesh is not None else 1
         proc_idx = jax.process_index() if mesh is not None else 0
         if retain and not max_images:
-            raise ValueError("--kid/--fid_per_bin need a finite eval budget "
-                             "(max_images > 0) to size the feature buffers")
+            raise ValueError("--kid/--fid_per_bin/--prdc need a finite eval "
+                             "budget (max_images > 0) to size the feature "
+                             "buffers")
         seen = 0
         bufs = None
         for raw in raw_iter:
@@ -214,6 +217,15 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                 out.update(_per_bin_fid(
                     bufs[0][:count], bufs[2][:count],
                     bufs[1][:count], bufs[3][:count], nb))
+            if prdc_on:
+                k = cfg.run.prdc_k
+                if count <= k:
+                    raise ValueError(
+                        f"--prdc needs more than --prdc_k {k} eval images "
+                        f"per side, got {count}; raise --eval_fid_images")
+                from pcgan_tpu.ops.prdc import prdc_from_features
+                out.update({m: float(v) for m, v in prdc_from_features(
+                    bufs[0][:count], bufs[1][:count], k=k).items()})
         if comparator is not None and int(n) > 0:
             out["cond_accuracy"] = float(hits) / float(n)
         return out
