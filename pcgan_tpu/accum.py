@@ -134,12 +134,22 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         out, new_state = fwd(jax.lax.stop_gradient(g_params))
         return out, None, new_state
 
+    # --diff_augment: same wiring as the fused step (train.py) — D sees
+    # T(real)/T(fake), G's adversarial term sees T(fake); empty policy
+    # keeps the rng split count unchanged (off path bit-identical)
+    from pcgan_tpu.ops.diffaug import make_diff_augment
+    use_aug = bool(t.diff_augment)
+    aug = make_diff_augment(t.diff_augment)
+
     def mb_rngs(state, i):
         rng = jax.random.fold_in(state.rng, state.step)
         if axis_name:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng = jax.random.fold_in(rng, i)
-        return jax.random.split(rng, 4)       # r_target, r_drop, r_pool, r_gp
+        if use_aug:                # ... plus r_aug
+            return jax.random.split(rng, 5)
+        return (*jax.random.split(rng, 4),   # r_target, r_drop, r_pool, r_gp
+                None)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -157,7 +167,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         def phase_a(carry, xs):
             pool, d_gsum, g_state, d_state, sums = carry
             i, mbatch = xs
-            r_target, r_drop, r_pool, r_gp = mb_rngs(state, i)
+            r_target, r_drop, r_pool, r_gp, r_aug = mb_rngs(state, i)
             real = mbatch["image"].astype(compute_dtype)
             cond_real, cond_target, _, _ = sample_conds(
                 state, mbatch, bsz, r_target)
@@ -176,24 +186,34 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                     cc = jnp.concatenate(
                         [cond_real, cond_fake_d.astype(compute_dtype)],
                         axis=0)
+                    if use_aug:
+                        xx = aug(jax.random.fold_in(r_aug, 0), xx)
                     pred, ds2 = d_apply(d_params, xx, cc, d_state)
                     pred_real, pred_fake = pred[:bsz], pred[bsz:]
                 else:
-                    pred_real, ds1 = d_apply(d_params, real, cond_real,
+                    real_d, fake_dd = real, fake_d.astype(compute_dtype)
+                    if use_aug:
+                        real_d = aug(jax.random.fold_in(r_aug, 0), real_d)
+                        fake_dd = aug(jax.random.fold_in(r_aug, 1), fake_dd)
+                    pred_real, ds1 = d_apply(d_params, real_d, cond_real,
                                              d_state)
                     pred_fake, ds2 = d_apply(
-                        d_params, fake_d.astype(compute_dtype),
+                        d_params, fake_dd,
                         cond_fake_d.astype(compute_dtype), d_state,
                         d_state=ds1)
                 l_real = gan_loss(pred_real, True, t.gan_mode)
                 l_fake = gan_loss(pred_fake, False, t.gan_mode)
                 loss = 0.5 * (l_real + l_fake)
                 if t.gan_mode == "wgangp":
+                    gp_real, gp_fake = real, fake_det.astype(compute_dtype)
+                    if use_aug:
+                        gp_real = aug(jax.random.fold_in(r_aug, 2), gp_real)
+                        gp_fake = aug(jax.random.fold_in(r_aug, 3), gp_fake)
                     gp = gradient_penalty(
                         lambda v, x, c: d_apply(v["params"], x, c,
                                                 d_state)[0],
-                        {"params": d_params}, real,
-                        fake_det.astype(compute_dtype), cond_target, r_gp)
+                        {"params": d_params}, gp_real, gp_fake,
+                        cond_target, r_gp)
                     loss = l_real + l_fake + t.lambda_gp * gp
                 return loss, (l_real, l_fake, ds2)
 
@@ -222,7 +242,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         def phase_b(carry, xs):
             g_gsum, g_state, sums = carry
             i, mbatch = xs
-            r_target, r_drop, _, _ = mb_rngs(state, i)   # SAME folds as A
+            r_target, r_drop, _, _, r_aug = mb_rngs(state, i)  # SAME folds as A
             real = mbatch["image"].astype(compute_dtype)
             cond_real, cond_target, cond_lo, cond_hi = sample_conds(
                 state, mbatch, bsz, r_target)
@@ -233,7 +253,10 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
 
             def g_out_loss(out):
                 fake, idt = out[:bsz], out[bsz:]
-                pred, _ = d_apply(d_for_g, fake, cond_target, state.d_state)
+                fake_for_d = (aug(jax.random.fold_in(r_aug, 4), fake)
+                              if use_aug else fake)
+                pred, _ = d_apply(d_for_g, fake_for_d, cond_target,
+                                  state.d_state)
                 l_gan = gan_loss(pred, True, t.gan_mode,
                                  for_discriminator=False)
                 l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)

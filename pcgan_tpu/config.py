@@ -165,6 +165,13 @@ class TrainConfig:
     # robustness lever; per-net skip totals stream as notfinite_G/D.
     # Changes the optimizer-state tree: must match the saved run on resume.
     skip_nonfinite: int = 0
+    # DiffAugment (ops/diffaug.py; Zhao et al. 2020): comma-separated policy
+    # of differentiable transforms applied to EVERY image D sees — T(real)/
+    # T(fake) in the D loss, T(fake) in the G loss (grads flow through T);
+    # L1/comparator losses stay on raw images. The standard lever against D
+    # overfitting on small datasets (the paper-scale UTKFace setting).
+    # "" = off = reference parity; e.g. "color,translation,cutout".
+    diff_augment: str = ""
     # warm-start G from a G-only checkpoint ("<run_name>/<tag>", resolved
     # under --checkpoints_dir; "<tag>" alone uses the current run name).
     # The reference-migration path: tools/import_pth.py converts a
@@ -341,6 +348,7 @@ _FLAG_MAP = {
     "max_ckpt_keep": ("train", "max_ckpt_keep"),
     "ema_decay": ("train", "ema_decay"),
     "grad_accum": ("train", "grad_accum"),
+    "diff_augment": ("train", "diff_augment"),
     "init_g_from": ("train", "init_g_from"),
     "comparator_path": ("train", "comparator_path"),
     "cmp_eval_frac": ("train", "cmp_eval_frac"),
@@ -431,6 +439,12 @@ _FLAG_HELP = {
                   "step, ONE optimizer update on averaged grads — same "
                   "optimizer semantics at 1/N activation memory (exact-math "
                   "HBM dial beyond the reference; 1 = off)",
+    "diff_augment": "DiffAugment policy (comma-separated from color,"
+                    "translation,cutout): random differentiable transforms "
+                    "on every image D sees — the standard anti-overfitting "
+                    "lever for small datasets (Zhao et al. 2020). L1/"
+                    "comparator losses keep raw images. Beyond-reference "
+                    "opt-in; '' = off = parity",
     "remat": "rematerialize G resnet/unet blocks in the backward pass "
              "(HBM relief for 256px large batches)",
     "quant_int8": "int8 post-training quantization of the G trunk convs "

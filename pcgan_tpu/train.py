@@ -230,6 +230,14 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
     score_mode = cfg.model.cond_mode == "score"
     compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     fuse_d = cfg.model.norm != "batch"   # 2B-batched D passes (see d_loss_fn)
+    # --diff_augment (ops/diffaug.py): every image D sees goes through a
+    # random differentiable transform — T(real)/T(fake) in the D loss,
+    # T(fake) in the G loss; L1 and the comparator cond loss stay on RAW
+    # images. Empty policy = identity AND an unchanged rng split, so the
+    # off path is bit-identical to pre-lever builds (golden tests).
+    from pcgan_tpu.ops.diffaug import make_diff_augment
+    use_aug = bool(t.diff_augment)
+    aug = make_diff_augment(t.diff_augment)
 
     def psum_mean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
@@ -243,7 +251,11 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             # per-device streams: target bins / dropout / pool traffic must
             # differ across the data axis (the pool buffer is axis-sharded)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        r_target, r_drop, r_pool, r_gp = jax.random.split(rng, 4)
+        if use_aug:
+            r_target, r_drop, r_pool, r_gp, r_aug = jax.random.split(rng, 5)
+        else:
+            r_target, r_drop, r_pool, r_gp = jax.random.split(rng, 4)
+            r_aug = None
 
         real_bin = batch["bin"].astype(jnp.int32)
         if score_mode:
@@ -339,14 +351,20 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                     [real, fake_d.astype(compute_dtype)], axis=0)
                 cc = jnp.concatenate(
                     [cond_real, cond_fake_d.astype(compute_dtype)], axis=0)
+                if use_aug:   # per-sample draws across the whole 2B batch
+                    xx = aug(jax.random.fold_in(r_aug, 0), xx)
                 pred, ds2 = d_apply(d_params, xx, cc)
                 pred_real, pred_fake = pred[:bsz], pred[bsz:]
             else:
                 # batchnorm: keep the reference's sequential two-pass
                 # semantics (per-pass batch stats; running stats chained)
-                pred_real, ds1 = d_apply(d_params, real, cond_real)
+                real_d, fake_dd = real, fake_d.astype(compute_dtype)
+                if use_aug:
+                    real_d = aug(jax.random.fold_in(r_aug, 0), real_d)
+                    fake_dd = aug(jax.random.fold_in(r_aug, 1), fake_dd)
+                pred_real, ds1 = d_apply(d_params, real_d, cond_real)
                 pred_fake, ds2 = d_apply(
-                    d_params, fake_d.astype(compute_dtype),
+                    d_params, fake_dd,
                     cond_fake_d.astype(compute_dtype), d_state=ds1)
             l_real = gan_loss(pred_real, True, t.gan_mode)
             l_fake = gan_loss(pred_fake, False, t.gan_mode)
@@ -356,10 +374,16 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                 # cal_gradient_penalty semantics); the pool mix feeds only
                 # the l_fake critic term above (ADVICE r1: penalizing along
                 # the stale pool manifold enforces Lipschitz off-policy)
+                gp_real, gp_fake = real, fake_det.astype(compute_dtype)
+                if use_aug:
+                    # Lipschitz is enforced on the inputs D actually sees:
+                    # augment BOTH endpoints, then interpolate
+                    gp_real = aug(jax.random.fold_in(r_aug, 2), gp_real)
+                    gp_fake = aug(jax.random.fold_in(r_aug, 3), gp_fake)
                 gp = gradient_penalty(
                     lambda v, x, c: d_apply(v["params"], x, c)[0],
-                    {"params": d_params}, real,
-                    fake_det.astype(compute_dtype), cond_target, r_gp)
+                    {"params": d_params}, gp_real, gp_fake, cond_target,
+                    r_gp)
                 loss = l_real + l_fake + t.lambda_gp * gp
             return loss, (l_real, l_fake, ds2)
 
@@ -377,7 +401,9 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
 
         def g_out_loss(out):
             fake, idt = out[:bsz], out[bsz:]
-            pred, _ = d_apply(d_for_g, fake, cond_target)
+            fake_for_d = (aug(jax.random.fold_in(r_aug, 4), fake)
+                          if use_aug else fake)   # grads flow through T
+            pred, _ = d_apply(d_for_g, fake_for_d, cond_target)
             l_gan = gan_loss(pred, True, t.gan_mode, for_discriminator=False)
             l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)
                                     - real.astype(jnp.float32)))
