@@ -66,7 +66,7 @@ def measure(cfg, steps: int, warmup: int = 3) -> float:
 
 
 def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512,
-                packed: bool = False) -> float:
+                packed: bool = False, device_cache: bool = False) -> float:
     """HONEST end-to-end rate: synthetic JPEGs on disk -> threaded host
     decode -> with_bins -> mesh-sharded transfer -> device prefetch -> fused
     train step. Proves the headline compute rate survives real host IO
@@ -112,17 +112,30 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512,
             pack_dir = os.path.join(tmpdir, "pack")
             write_pack(ds, pack_dir, num_threads=cfg.data.num_threads)
             ds = PackedDataset(pack_dir)
-        ld = Loader(ds, cfg.data.batch_size, shuffle=True,
-                    num_threads=cfg.data.num_threads,
-                    resize_to=host_resize_size(cfg))
+        if device_cache:
+            # --device_cache: the dataset rides to HBM once (build excluded
+            # from the timed loop — that is the point of the lever); the
+            # per-step host work is one index upload + an on-device gather
+            from pcgan_tpu.data.device_cache import DeviceCacheLoader
+            dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=0)
 
-        def batches():
-            while True:   # chain epochs until the step budget is consumed
-                it = with_bins(iter(ld), cfg.data.n_age_bins)
-                for b in it:
-                    yield put_global_batch(b, mesh)
+            def batches():
+                while True:
+                    yield from iter(dc)
 
-        it = device_prefetch(batches(), size=cfg.data.prefetch)
+            it = batches()
+        else:
+            ld = Loader(ds, cfg.data.batch_size, shuffle=True,
+                        num_threads=cfg.data.num_threads,
+                        resize_to=host_resize_size(cfg))
+
+            def batches():
+                while True:  # chain epochs until the step budget is consumed
+                    it = with_bins(iter(ld), cfg.data.n_age_bins)
+                    for b in it:
+                        yield put_global_batch(b, mesh)
+
+            it = device_prefetch(batches(), size=cfg.data.prefetch)
 
         def sync(metrics):
             return float(jax.device_get(metrics["loss_G"]))
@@ -300,6 +313,10 @@ def main():
                    help="e2e mode: serve the dataset from a pre-decoded "
                         "mmap pack (tools/pack_dataset.py) — the "
                         "zero-decode production epoch path")
+    p.add_argument("--device_cache", action="store_true",
+                   help="e2e mode: dataset resident in HBM, batches "
+                        "gathered on device — per-step host->device "
+                        "traffic is the batch indices only")
     p.add_argument("--skip_e2e", action="store_true",
                    help="omit the e2e addendum from the default headline "
                         "(compute-only, faster)")
@@ -313,6 +330,10 @@ def main():
         p.error("--quant_int8 is inference-only here; pass --infer")
     if args.packed and not args.e2e:
         p.error("--packed modifies --e2e; pass both")
+    if args.device_cache and not args.e2e:
+        p.error("--device_cache modifies --e2e here; pass both")
+    if args.device_cache and args.packed:
+        p.error("--device_cache and --packed are alternative input paths")
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
     from pcgan_tpu.platform import respect_env_platform
@@ -374,7 +395,8 @@ def main():
         return
 
     if args.e2e:
-        value = measure_e2e(cfg, steps, packed=args.packed)
+        value = measure_e2e(cfg, steps, packed=args.packed,
+                            device_cache=args.device_cache)
     else:
         value = measure(cfg, steps)
 
@@ -387,7 +409,8 @@ def main():
         ref = base.get("imgs_per_sec_per_chip_128px")
         if ref:
             vs = round(value / ref, 2)
-    suffix = ("_e2e_packed" if args.e2e and args.packed
+    suffix = ("_e2e_cached" if args.e2e and args.device_cache
+              else "_e2e_packed" if args.e2e and args.packed
               else "_e2e" if args.e2e else "")
     line = {
         "metric": (f"train_imgs_per_sec_per_chip_"
