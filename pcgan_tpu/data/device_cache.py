@@ -112,6 +112,15 @@ class DeviceCacheLoader:
     def __len__(self) -> int:
         return self.n // self.bs
 
+    def eval_iter(self) -> Iterator[Dict[str, jax.Array]]:
+        """Deterministic index-order batches straight from the cache — the
+        eval-loader convention (shuffle=False, drop_last) without touching
+        the training epoch/skip cursors and without re-decoding the eval
+        budget on the host every eval epoch."""
+        for b in range(self.n // self.bs):
+            idx = np.arange(b * self.bs, (b + 1) * self.bs, dtype=np.int32)
+            yield self._gather(self._cache, idx)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         order = np.arange(self.n)
         if self.shuffle:

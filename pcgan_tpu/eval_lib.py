@@ -139,6 +139,11 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         return _constrain_repl((r_stats, f_stats, hits, n, bufs))
 
     def _put_batch(v):
+        if isinstance(v, jax.Array):
+            # already on device (--device_cache eval batches ride straight
+            # from the cache gather): never round-trip through the host;
+            # the jitted eval_batch re-lays-out under GSPMD as needed
+            return v
         if mesh is None:
             return jnp.asarray(v)
         # host array straight into its sharded placement — no staging

@@ -120,3 +120,47 @@ def test_cli_metric_stream_identical(tmp_path):
     a = losses(os.path.join(tmp_path, "host", "metrics.jsonl"))
     b = losses(os.path.join(tmp_path, "cached", "metrics.jsonl"))
     assert a and a == b
+
+
+def test_eval_iter_matches_host_eval_loader():
+    """In-training eval reuses the cache: eval_iter's deterministic order
+    and values match the host eval-loader convention (shuffle=False,
+    drop_last), so --device_cache FID == streaming FID."""
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3)
+    eval_ld = data_loader.make_process_loader(cfg, ds, shuffle=False)
+    host = list(with_bins(iter(eval_ld), cfg.data.n_age_bins,
+                          cfg.data.max_age))
+    dev = list(dc.eval_iter())
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        for k in hb:
+            assert np.array_equal(hb[k], np.asarray(db[k])), k
+    # eval_iter leaves the training cursors alone
+    assert dc.epoch == 0 and dc.skip_next == 0
+
+
+def test_evaluator_accepts_cache_batches():
+    """make_fid_evaluator fed device-resident batches (the --device_cache
+    in-training eval path) returns the same FID as host batches."""
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G, init_params
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=False, seed=0)
+    G = define_G(cfg)
+    g_vars = init_params(G, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, cfg.data.n_age_bins)), train=False)
+    run = make_fid_evaluator(cfg, G, mesh=mesh)
+    eval_ld = data_loader.make_process_loader(cfg, ds, shuffle=False)
+    host = run(g_vars, with_bins(iter(eval_ld), cfg.data.n_age_bins,
+                                 cfg.data.max_age), max_images=32, seed=1)
+    dev = run(g_vars, dc.eval_iter(), max_images=32, seed=1)
+    assert abs(host["fid"] - dev["fid"]) < 1e-5, (host, dev)

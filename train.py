@@ -245,14 +245,23 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         # each host's batch as its local shard of the global array — same
         # convention as the train loader), so eval rows are not duplicated.
         run_fid = make_fid_evaluator(cfg, G, cmp_bundle, mesh=mesh)
-        eval_ld = make_process_loader(cfg, ld.ds, shuffle=False)
+        if getattr(ld, "is_device_cache", False):
+            # --device_cache: eval batches ride straight from the resident
+            # cache (same deterministic order as the host eval loader) —
+            # no per-eval-epoch host decode, no per-batch transfer
+            def eval_source():
+                return ld.eval_iter()
+        else:
+            eval_ld = make_process_loader(cfg, ld.ds, shuffle=False)
+
+            def eval_source():
+                return with_bins(iter(eval_ld), cfg.data.n_age_bins,
+                                 cfg.data.max_age)
 
         def fid_eval(state, epoch):
             g_vars = {"params": state.g_params, **state.g_state}
             rec = run_fid(
-                g_vars,
-                with_bins(iter(eval_ld), cfg.data.n_age_bins,
-                          cfg.data.max_age),
+                g_vars, eval_source(),
                 max_images=t.eval_fid_images, seed=t.seed)
             logger.log(int(state.step),
                        {("eval_" + k): float(v) for k, v in rec.items()},
