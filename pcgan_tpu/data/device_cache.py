@@ -65,7 +65,10 @@ class DeviceCacheLoader:
         self.epoch = 0
         self.skip_next = 0
         host = self._decode_all(cfg, ds)
-        n = host["image"].shape[0]
+        if not host:
+            raise SystemExit("--device_cache: dataset yielded no cacheable "
+                             "(numeric array) batch keys")
+        n = next(iter(host.values())).shape[0]   # pairwise has no 'image' key
         if n < self.bs:
             raise SystemExit(
                 f"--device_cache: dataset has {n} rows < batch_size {self.bs}")

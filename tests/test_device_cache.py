@@ -164,3 +164,35 @@ def test_evaluator_accepts_cache_batches():
                                  cfg.data.max_age), max_images=32, seed=1)
     dev = run(g_vars, dc.eval_iter(), max_images=32, seed=1)
     assert abs(host["fid"] - dev["fid"]) < 1e-5, (host, dev)
+
+
+@pytest.mark.slow
+def test_comparator_pretraining_cached_identical(tmp_path):
+    """--device_cache extends to comparator pretraining (pairwise batches:
+    image_a/image_b/label) — same bit-identical metric-stream contract."""
+    import train as train_cli
+
+    common = [
+        "--model", "comparator", "--dataset_mode", "synthetic",
+        "--max_dataset_size", "48", "--batch_size", "8",
+        "--crop_size", "32", "--load_size", "36", "--cmp_nf", "8",
+        "--cmp_n_down", "2", "--niter", "2", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "0",
+        "--dtype", "float32", "--mesh_shape", "1",
+    ]
+
+    def metrics(path):
+        out = []
+        for line in open(path):
+            rec = json.loads(line)
+            out.append({k: v for k, v in rec.items()
+                        if k.startswith(("loss", "acc"))})
+        return out
+
+    train_cli.main(common + ["--name", "h", "--checkpoints_dir",
+                             str(tmp_path)])
+    train_cli.main(common + ["--name", "c", "--checkpoints_dir",
+                             str(tmp_path), "--device_cache"])
+    a = metrics(os.path.join(tmp_path, "h", "metrics.jsonl"))
+    b = metrics(os.path.join(tmp_path, "c", "metrics.jsonl"))
+    assert a and a == b

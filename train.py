@@ -517,6 +517,13 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     # would duplicate every pair process_count times)
     ld = data_loader.make_process_loader(cfg, train_ds, shuffle=True,
                                          seed=cfg.train.seed)
+    if cfg.data.device_cache:
+        # pairwise batches cache exactly like aging ones (image_a/image_b
+        # u8 canvases + labels); the held-out eval and anchor-fitting
+        # loaders stay host-side (small, once per epoch / once at the end)
+        from pcgan_tpu.data.device_cache import DeviceCacheLoader
+        ld = DeviceCacheLoader(cfg, train_ds, mesh, shuffle=True,
+                               seed=cfg.train.seed)
     steps_per_epoch = max(1, len(ld))
     print(f"comparator pairs: {len(train_ds)} train / {n_eval} held out, "
           f"{steps_per_epoch} steps/epoch", flush=True)
@@ -580,7 +587,8 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     for epoch in range(cfg.train.epoch_count + epochs_done, total_epochs + 1):
         # index-level skip: exact resume without decoding discarded batches
         ld.skip_next, resume_skip = resume_skip, 0
-        for raw in _shard_iter(iter(ld), mesh):
+        for raw in (iter(ld) if getattr(ld, "is_device_cache", False)
+                    else _shard_iter(iter(ld), mesh)):
             state, metrics = step_fn(state, raw)
             gstep += 1
             if gstep % cfg.train.print_freq == 0:
