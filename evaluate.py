@@ -9,7 +9,9 @@ Computes, in one pass over the eval set with device-resident stats:
   - FID between real images and generated images (targets = permuted real
     age bins, so the generated condition marginal matches the real one);
   - with --kid, KID (unbiased small-sample MMD^2 metric) from the same
-    pass and feature space;
+    pass and feature space; with --fid_per_bin, conditional FID per age
+    bin; with --prdc, precision/recall/density/coverage (fidelity vs
+    diversity factoring) — all from the same retained features;
   - if a comparator checkpoint is given, condition accuracy: the fraction of
     fakes whose comparator score lands in the target bin's anchor interval.
 Prints one JSON line and appends to {results_dir}/{name}/eval.jsonl.
@@ -65,8 +67,9 @@ def main(argv=None):
     elif n_data > 1:
         print(f"eval: sharding batches across {n_data} devices", flush=True)
 
-    if (cfg.run.kid or cfg.run.fid_per_bin) and cfg.run.num_test <= 0:
-        raise SystemExit("--kid/--fid_per_bin need a finite --num_test "
+    if (cfg.run.kid or cfg.run.fid_per_bin or cfg.run.prdc
+            ) and cfg.run.num_test <= 0:
+        raise SystemExit("--kid/--fid_per_bin/--prdc need a finite --num_test "
                          "budget (>0) to size their feature buffers")
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
     ds = data_loader.create_dataset(cfg, train=False)
