@@ -28,6 +28,9 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
+    if cfg.data.device_cache:
+        print("note: --device_cache is a training-loop lever; evaluate.py "
+              "streams from the host (flag ignored)", flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -67,6 +70,9 @@ def main(argv=None):
     elif n_data > 1:
         print(f"eval: sharding batches across {n_data} devices", flush=True)
 
+    if cfg.run.prdc and 0 < cfg.run.num_test <= cfg.run.prdc_k:
+        raise SystemExit(f"--prdc needs --num_test > --prdc_k "
+                         f"({cfg.run.prdc_k}), got {cfg.run.num_test}")
     if (cfg.run.kid or cfg.run.fid_per_bin or cfg.run.prdc
             ) and cfg.run.num_test <= 0:
         raise SystemExit("--kid/--fid_per_bin/--prdc need a finite --num_test "

@@ -137,8 +137,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
     # --diff_augment: same wiring as the fused step (train.py) — D sees
     # T(real)/T(fake), G's adversarial term sees T(fake); empty policy
     # keeps the rng split count unchanged (off path bit-identical)
-    from pcgan_tpu.ops.diffaug import make_diff_augment
-    use_aug = bool(t.diff_augment)
+    from pcgan_tpu.ops.diffaug import make_diff_augment, parse_policy
+    use_aug = bool(parse_policy(t.diff_augment))  # ',' / ' ' == off
     aug = make_diff_augment(t.diff_augment)
 
     def mb_rngs(state, i):

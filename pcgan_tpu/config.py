@@ -463,7 +463,9 @@ _FLAG_HELP = {
                     "batches ON DEVICE — per-step host->device traffic "
                     "drops to the batch indices. Beyond-reference perf "
                     "lever for datasets that fit HBM; sample stream is "
-                    "bit-identical to the host Loader. Single-process only",
+                    "bit-identical to the host Loader. Single-process "
+                    "only; consumed by train.py and bench.py (single-pass "
+                    "CLIs like test.py/evaluate.py note and ignore it)",
 }
 
 

@@ -73,10 +73,24 @@ class DeviceCacheLoader:
             raise SystemExit(
                 f"--device_cache: dataset has {n} rows < batch_size {self.bs}")
         nbytes = sum(v.nbytes for v in host.values())
+        if not max_bytes:
+            # default cap from the device's own memory limit: 60% of HBM
+            # leaves room for the model/optimizer/activations. A friendly
+            # SystemExit beats the opaque XLA RESOURCE_EXHAUSTED that
+            # device_put would raise. Backends without memory_stats (CPU
+            # tests) stay uncapped.
+            try:
+                stats = mesh.devices.flat[0].memory_stats() or {}
+                limit = int(stats.get("bytes_limit", 0))
+                max_bytes = int(limit * 0.6) if limit else 0
+            except Exception:
+                max_bytes = 0
         if max_bytes and nbytes > max_bytes:
             raise SystemExit(
                 f"--device_cache: dataset is {nbytes / 2**30:.2f} GiB > the "
-                f"{max_bytes / 2**30:.2f} GiB cap; use the host Loader")
+                f"{max_bytes / 2**30:.2f} GiB cap (60% of device memory); "
+                f"use the host Loader (--dataset_mode packed for zero-"
+                f"decode epochs)")
         print(f"device cache: {n} rows, "
               f"{nbytes / 2**30:.2f} GiB resident per device "
               f"(keys: {sorted(host)})", flush=True)

@@ -224,13 +224,16 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                     bufs[1][:count], bufs[3][:count], nb))
             if prdc_on:
                 k = cfg.run.prdc_k
-                if count <= k:
-                    raise ValueError(
-                        f"--prdc needs more than --prdc_k {k} eval images "
-                        f"per side, got {count}; raise --eval_fid_images")
-                from pcgan_tpu.ops.prdc import prdc_from_features
-                out.update({m: float(v) for m, v in prdc_from_features(
-                    bufs[0][:count], bufs[1][:count], k=k).items()})
+                if count > k:
+                    from pcgan_tpu.ops.prdc import prdc_from_features
+                    out.update({m: float(v) for m, v in prdc_from_features(
+                        bufs[0][:count], bufs[1][:count], k=k).items()})
+                else:
+                    # degrade like kid/per_bin do (skip, never crash a
+                    # training run at its first epoch-end eval); the CLIs
+                    # guard their budgets at startup
+                    print(f"prdc skipped: {count} eval images <= "
+                          f"--prdc_k {k}", flush=True)
         if comparator is not None and int(n) > 0:
             out["cond_accuracy"] = float(hits) / float(n)
         return out

@@ -235,8 +235,11 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
     # T(fake) in the G loss; L1 and the comparator cond loss stay on RAW
     # images. Empty policy = identity AND an unchanged rng split, so the
     # off path is bit-identical to pre-lever builds (golden tests).
-    from pcgan_tpu.ops.diffaug import make_diff_augment
-    use_aug = bool(t.diff_augment)
+    from pcgan_tpu.ops.diffaug import make_diff_augment, parse_policy
+    # parse, not truthiness: a whitespace/comma-only policy string must be
+    # OFF (identity AND the unchanged 4-way rng split), not a silent
+    # rng-stream change with no augmentation
+    use_aug = bool(parse_policy(t.diff_augment))
     aug = make_diff_augment(t.diff_augment)
 
     def psum_mean(x):

@@ -17,6 +17,12 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
+    if cfg.data.device_cache:
+        # no silently-dead flags (project convention): the cache is a
+        # training-loop lever; a single pass over the test set would pay
+        # the full upload for one read
+        print("note: --device_cache is a training-loop lever; test.py "
+              "streams from the host (flag ignored)", flush=True)
 
     import jax
     import jax.numpy as jnp

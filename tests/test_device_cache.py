@@ -196,3 +196,11 @@ def test_comparator_pretraining_cached_identical(tmp_path):
     a = metrics(os.path.join(tmp_path, "h", "metrics.jsonl"))
     b = metrics(os.path.join(tmp_path, "c", "metrics.jsonl"))
     assert a and a == b
+
+
+def test_max_bytes_cap_rejects_oversized_dataset():
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    ds = data_loader.create_dataset(cfg, train=True)
+    with pytest.raises(SystemExit, match="GiB cap"):
+        DeviceCacheLoader(cfg, ds, mesh, max_bytes=1024)

@@ -154,3 +154,13 @@ def test_accum_step_with_diffaug_runs():
         "bin": jnp.asarray(r.integers(0, 4, (4,), np.int32))}
     _, m = step(state, batch)
     assert all(np.isfinite(float(v)) for v in m.values()), m
+
+
+def test_whitespace_policy_is_fully_off():
+    """',' / ' ' must be OFF — identity AND the unchanged 4-way rng split
+    (review finding: bool(',') was truthy, silently changing the rng
+    stream with zero augmentation applied)."""
+    assert parse_policy(",") == [] and parse_policy("  ") == []
+    _, base = _run_steps(_train_cfg(""))
+    _, comma = _run_steps(_train_cfg(" , "))
+    assert base == comma

@@ -115,8 +115,10 @@ def test_evaluator_reports_prdc_and_matches_sharded():
         assert abs(sharded[m] - single[m]) < 1e-5, (m, sharded, single)
 
 
-def test_evaluator_prdc_needs_budget_above_k():
-    import pytest
+def test_evaluator_prdc_skips_when_budget_below_k():
+    """count <= k degrades gracefully (skip, like kid/per_bin) — an
+    in-training eval must never crash the run hours in; the CLIs guard
+    their budgets at startup instead."""
     from pcgan_tpu.eval_lib import make_fid_evaluator
     from pcgan_tpu.models.registry import define_G, init_params
 
@@ -125,5 +127,5 @@ def test_evaluator_prdc_needs_budget_above_k():
     g_vars = init_params(G, jax.random.PRNGKey(0),
                          jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4)),
                          train=False)
-    with pytest.raises(ValueError, match="prdc_k"):
-        make_fid_evaluator(cfg, G)(g_vars, _raw_iter(), max_images=16)
+    out = make_fid_evaluator(cfg, G)(g_vars, _raw_iter(), max_images=16)
+    assert "fid" in out and "precision" not in out

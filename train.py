@@ -63,9 +63,6 @@ def main(argv=None):
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
-        ld = data_loader.make_process_loader(
-            cfg, ds, shuffle=not cfg.data.serial_batches,
-            seed=cfg.train.seed)
         if cfg.data.device_cache:
             # --device_cache: the whole dataset rides to HBM once; epochs
             # gather batches on device (same shuffle seeding as the host
@@ -75,6 +72,10 @@ def main(argv=None):
             ld = DeviceCacheLoader(cfg, ds, mesh,
                                    shuffle=not cfg.data.serial_batches,
                                    seed=cfg.train.seed)
+        else:
+            ld = data_loader.make_process_loader(
+                cfg, ds, shuffle=not cfg.data.serial_batches,
+                seed=cfg.train.seed)
         steps_per_epoch = max(1, len(ld))
         print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
               f"{steps_per_epoch} steps/epoch", flush=True)
@@ -231,6 +232,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             raise SystemExit(
                 "--kid/--fid_per_bin/--prdc need a finite --eval_fid_images "
                 "budget (>0) to size their feature buffers")
+        if cfg.run.prdc and t.eval_fid_images <= cfg.run.prdc_k:
+            raise SystemExit(
+                f"--prdc needs --eval_fid_images > --prdc_k "
+                f"({cfg.run.prdc_k}), got {t.eval_fid_images}")
         # host snapshots: the train step DONATES its state buffers, so any
         # device array captured here would be deleted after the first step
         cmp_bundle = (C, jax.device_get(c_vars),
@@ -515,8 +520,6 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     # pod-correct: disjoint per-host pair slices (put_global_batch in
     # _shard_iter assembles the global batch — an unsharded Loader here
     # would duplicate every pair process_count times)
-    ld = data_loader.make_process_loader(cfg, train_ds, shuffle=True,
-                                         seed=cfg.train.seed)
     if cfg.data.device_cache:
         # pairwise batches cache exactly like aging ones (image_a/image_b
         # u8 canvases + labels); the held-out eval and anchor-fitting
@@ -524,6 +527,9 @@ def _train_comparator(cfg, mesh, logger, run_dir):
         from pcgan_tpu.data.device_cache import DeviceCacheLoader
         ld = DeviceCacheLoader(cfg, train_ds, mesh, shuffle=True,
                                seed=cfg.train.seed)
+    else:
+        ld = data_loader.make_process_loader(cfg, train_ds, shuffle=True,
+                                             seed=cfg.train.seed)
     steps_per_epoch = max(1, len(ld))
     print(f"comparator pairs: {len(train_ds)} train / {n_eval} held out, "
           f"{steps_per_epoch} steps/epoch", flush=True)
