@@ -357,7 +357,8 @@ def main():
         # measured sweet spots on v5e (round 2): batch 64 @128px
         # (667 imgs/s); @256px batch 16 no-remat (136) — batch 32 also
         # fits without remat since the bias-drop/s2d HBM savings (128.1)
-        batch = args.batch or (16 if args.size >= 256 else 64)
+        batch = args.batch or (8 if args.size >= 512
+                               else 16 if args.size >= 256 else 64)
         cfg = Config(
             data=DataConfig(batch_size=batch, crop_size=args.size,
                             load_size=int(args.size * 143 / 128),
@@ -365,7 +366,12 @@ def main():
                             host_decode_m=args.host_decode_m,
                             host_resize=args.host_resize),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              remat=args.size >= 256 and batch > 32,
+                              # 512px train steps compile only WITH remat on
+                              # this toolchain (compile-side resource limit,
+                              # docs/perf_notes.md 512px probe); 256px needs
+                              # it only for large batches
+                              remat=(args.size >= 512
+                                     or (args.size >= 256 and batch > 32)),
                               quant_int8=args.quant_int8),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
         steps = args.steps or 30

@@ -188,6 +188,11 @@ class TrainConfig:
     # in-training eval (BASELINE config 5 streaming FID)
     eval_fid_epoch_freq: int = 0     # 0 = off; else FID every N epochs
     eval_fid_images: int = 512
+    # evaluate the EMA twin instead of the live params (needs
+    # --ema_decay > 0) — the standard GAN practice: the EMA G is what
+    # ships, so its FID is the number that matters. Off by default (live
+    # params, matching what the reference would report).
+    eval_use_ema: bool = False
 
 
 @dataclass(frozen=True)
@@ -354,6 +359,7 @@ _FLAG_MAP = {
     "cmp_eval_frac": ("train", "cmp_eval_frac"),
     "eval_fid_epoch_freq": ("train", "eval_fid_epoch_freq"),
     "eval_fid_images": ("train", "eval_fid_images"),
+    "eval_use_ema": ("train", "eval_use_ema"),
     # test options
     "results_dir": ("run", "results_dir"),
     "phase": ("run", "phase"),
@@ -454,6 +460,10 @@ _FLAG_HELP = {
                   "rejected by train.py",
     "use_ema": "sample from the {tag}_G_ema twin (needs --ema_decay "
                "training)",
+    "eval_use_ema": "in-training eval (--eval_fid_epoch_freq) scores the "
+                    "EMA twin instead of the live params (needs "
+                    "--ema_decay > 0) — the EMA G is what ships, so its "
+                    "FID is the number that matters",
     "verbose": "print each network's full parameter tree at startup "
                "(param counts always print, like the reference's "
                "print_networks)",

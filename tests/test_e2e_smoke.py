@@ -428,3 +428,28 @@ def test_save_latest_freq_zero_saves_at_epoch_boundaries(workdir, capsys):
     train_cli.main(args + ["--continue_train"])
     out = capsys.readouterr().out
     assert "resumed from step 32 (epoch 2)" in out
+
+
+@pytest.mark.slow
+def test_eval_use_ema_scores_the_twin(tmp_path):
+    """--eval_use_ema: in-training eval runs on the EMA params (needs
+    --ema_decay); without --ema_decay it rejects at startup."""
+    import json as _json
+    import train as train_cli
+
+    args = COMMON + [
+        "--checkpoints_dir", str(tmp_path), "--niter", "1",
+        "--niter_decay", "0", "--print_freq", "2", "--save_epoch_freq", "0",
+        "--save_latest_freq", "0", "--pool_size", "4", "--lambda_cond", "0",
+        "--eval_fid_epoch_freq", "1", "--eval_fid_images", "8",
+        "--ema_decay", "0.5", "--eval_use_ema",
+    ]
+    train_cli.main(args)
+    recs = [_json.loads(l) for l in
+            open(os.path.join(tmp_path, "smoke", "metrics.jsonl"))]
+    assert any("eval_fid" in r for r in recs)
+
+    with pytest.raises(SystemExit, match="eval_use_ema"):
+        train_cli.main(COMMON + [
+            "--checkpoints_dir", str(tmp_path / "x"), "--niter", "1",
+            "--eval_fid_epoch_freq", "1", "--eval_use_ema"])

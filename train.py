@@ -236,6 +236,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             raise SystemExit(
                 f"--prdc needs --eval_fid_images > --prdc_k "
                 f"({cfg.run.prdc_k}), got {t.eval_fid_images}")
+        if t.eval_use_ema and t.ema_decay <= 0:
+            raise SystemExit("--eval_use_ema needs --ema_decay > 0 "
+                             "(there is no EMA twin to evaluate)")
         # host snapshots: the train step DONATES its state buffers, so any
         # device array captured here would be deleted after the first step
         cmp_bundle = (C, jax.device_get(c_vars),
@@ -264,7 +267,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                                  cfg.data.max_age)
 
         def fid_eval(state, epoch):
-            g_vars = {"params": state.g_params, **state.g_state}
+            # --eval_use_ema: score the EMA twin (what ships) instead of
+            # the live params; norm running-state collections are shared
+            params = (state.ema_params if t.eval_use_ema
+                      else state.g_params)
+            g_vars = {"params": params, **state.g_state}
             rec = run_fid(
                 g_vars, eval_source(),
                 max_images=t.eval_fid_images, seed=t.seed)
