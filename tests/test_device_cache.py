@@ -204,3 +204,37 @@ def test_max_bytes_cap_rejects_oversized_dataset():
     ds = data_loader.create_dataset(cfg, train=True)
     with pytest.raises(SystemExit, match="GiB cap"):
         DeviceCacheLoader(cfg, ds, mesh, max_bytes=1024)
+
+
+@pytest.mark.slow
+def test_cli_resume_with_device_cache(tmp_path):
+    """--continue_train under --device_cache: the resumed run's metric
+    stream matches the uninterrupted run (the cache replays the right
+    epoch's seeded permutation and skips consumed batches)."""
+    import train as train_cli
+
+    common = [
+        "--dataset_mode", "synthetic", "--max_dataset_size", "40",
+        "--batch_size", "8", "--crop_size", "32", "--load_size", "36",
+        "--netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
+        "--niter_decay", "0", "--print_freq", "2", "--display_freq", "1000",
+        "--save_latest_freq", "0", "--lambda_cond", "0", "--pool_size", "8",
+        "--dtype", "float32", "--device_cache",
+    ]
+
+    def losses(path):
+        return [{k: v for k, v in json.loads(l).items()
+                 if k.startswith("loss")} for l in open(path)]
+
+    train_cli.main(common + ["--name", "full", "--checkpoints_dir",
+                             str(tmp_path), "--niter", "3",
+                             "--save_epoch_freq", "0"])
+    train_cli.main(common + ["--name", "split", "--checkpoints_dir",
+                             str(tmp_path), "--niter", "2",
+                             "--save_epoch_freq", "2"])
+    train_cli.main(common + ["--name", "split", "--checkpoints_dir",
+                             str(tmp_path), "--niter", "3",
+                             "--save_epoch_freq", "0", "--continue_train"])
+    full = losses(os.path.join(tmp_path, "full", "metrics.jsonl"))
+    split = losses(os.path.join(tmp_path, "split", "metrics.jsonl"))
+    assert full and full == split

@@ -164,3 +164,32 @@ def test_whitespace_policy_is_fully_off():
     _, base = _run_steps(_train_cfg(""))
     _, comma = _run_steps(_train_cfg(" , "))
     assert base == comma
+
+
+def test_diffaug_under_shard_map_dp():
+    """DiffAugment under the 8-device DP mesh: per-shard rng (axis_index
+    folded) means independent draws per device; the step compiles and
+    yields finite metrics."""
+    from pcgan_tpu.models import define_D, define_G
+    from pcgan_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    shard_train_state)
+    from pcgan_tpu.train import create_train_state
+    import dataclasses
+
+    cfg = _train_cfg("color,translation,cutout")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=8),
+        train=dataclasses.replace(cfg.train, pool_size=8))
+    G, D = define_G(cfg), define_D(cfg)
+    mesh = make_mesh((-1,), ("data",))
+    state = shard_train_state(
+        create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10), mesh)
+    step = make_parallel_train_step(cfg, G, D, mesh=mesh,
+                                    steps_per_epoch=10,
+                                    with_preprocess=False)
+    r = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(
+        r.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)),
+        "bin": jnp.asarray(r.integers(0, 4, (8,), np.int32))}
+    _, m = step(state, batch)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
