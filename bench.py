@@ -436,6 +436,10 @@ def main():
         try:
             e2e = measure_e2e(cfg, steps=max(10, steps // 2))
             line["e2e_imgs_s"] = round(e2e, 2)
+            # the closed-gap datapoint: same loop with the dataset resident
+            # in HBM (--device_cache) — no per-step pixels on the wire
+            line["e2e_cached_imgs_s"] = round(measure_e2e(
+                cfg, steps=max(10, steps // 2), device_cache=True), 2)
             # name the input path the rider actually measured: flags can
             # put it on documented non-default/non-parity fast paths
             flags = []

@@ -41,3 +41,40 @@ def test_measure_e2e_scaled_decode(tmp_path):
         parallel=ParallelConfig(mesh_shape=(1,)))
     rate = bench.measure_e2e(cfg, steps=2, warmup=1, n_images=16)
     assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.slow
+def test_measure_e2e_device_cache(tmp_path):
+    """--e2e --device_cache seam: cache build from on-disk JPEGs -> on-device
+    gathers -> fused step (the path behind the 99.5%-of-headline hardware
+    number)."""
+    import bench
+    from pcgan_tpu.config import (Config, DataConfig, ModelConfig,
+                                  ParallelConfig, TrainConfig)
+
+    cfg = Config(
+        data=DataConfig(batch_size=4, crop_size=32, load_size=36,
+                        n_age_bins=4, num_threads=2),
+        model=ModelConfig(netG="resnet_6blocks", ngf=8, ndf=8,
+                          dtype="float32"),
+        train=TrainConfig(pool_size=4, lambda_cond=0.0),
+        parallel=ParallelConfig(mesh_shape=(1,)))
+    rate = bench.measure_e2e(cfg, steps=2, warmup=1, n_images=16,
+                             device_cache=True)
+    assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.slow
+def test_tune_batch_smoke():
+    """tools/tune_batch.py --smoke: sweeps candidates, survives a
+    does-not-fit row, prints the best-config JSON line."""
+    import json
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "tools/tune_batch.py", "--smoke", "--steps", "2",
+         "--candidates", "8"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["best"] and rec["best"]["batch"] == 8
