@@ -354,11 +354,10 @@ def main():
             train=TrainConfig(pool_size=8))
         steps = args.steps or 5
     else:
-        # measured sweet spots on v5e (round 2): batch 64 @128px
-        # (667 imgs/s); @256px batch 16 no-remat (136) — batch 32 also
-        # fits without remat since the bias-drop/s2d HBM savings (128.1)
-        batch = args.batch or (8 if args.size >= 512
-                               else 16 if args.size >= 256 else 64)
+        # measured sweet spots on v5e: batch 64 @128px (682 imgs/s);
+        # @256px batch 64 no-remat (153.2 — found by tools/tune_batch.py
+        # r3 cont. 4; the old batch-16 default measured 142.6)
+        batch = args.batch or (8 if args.size >= 512 else 64)
         cfg = Config(
             data=DataConfig(batch_size=batch, crop_size=args.size,
                             load_size=int(args.size * 143 / 128),
@@ -368,10 +367,13 @@ def main():
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
                               # 512px train steps compile only WITH remat on
                               # this toolchain (compile-side resource limit,
-                              # docs/perf_notes.md 512px probe); 256px needs
-                              # it only for large batches
+                              # docs/perf_notes.md 512px probe). 256px runs
+                              # natively to batch 64 since the r3 HBM savings
+                              # (cond-bias stem, s2d) — and no-remat batch 64
+                              # is 17% faster than remat'd (152 vs 129; the
+                              # stale batch>32 gate here cost exactly that)
                               remat=(args.size >= 512
-                                     or (args.size >= 256 and batch > 32)),
+                                     or (args.size >= 256 and batch > 64)),
                               quant_int8=args.quant_int8),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
         steps = args.steps or 30

@@ -29,16 +29,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def try_measure(cfg, steps: int, warmup: int = 2):
-    """(imgs/s/chip, None) or (None, failure summary)."""
+def try_measure(cfg, steps: int, warmup: int = 3):
+    """(imgs/s/chip, None) or (None, failure summary).
+
+    Clears jit caches + collects garbage between candidates so each
+    candidate compiles and allocates against a clean heap (stale compiled
+    programs + device buffers from the previous candidate otherwise
+    accumulate across the sweep)."""
+    import gc
+    import jax
     import bench
     try:
-        return bench.measure(cfg, steps, warmup=warmup), None
+        rate = bench.measure(cfg, steps, warmup=warmup)
+        err = None
     except Exception as e:  # compile-side HBM failures surface as XlaRuntime
         msg = str(e)
-        if len(msg) > 140:
-            msg = msg[:140] + "..."
-        return None, msg
+        rate, err = None, (msg[:140] + "..." if len(msg) > 140 else msg)
+    jax.clear_caches()
+    gc.collect()
+    return rate, err
 
 
 def main():
@@ -133,6 +142,17 @@ def main():
     fitting = [r for r in rows if "imgs_per_sec_per_chip" in r]
     best = (max(fitting, key=lambda r: r["imgs_per_sec_per_chip"])
             if fitting else None)
+    if best is not None and len(fitting) > 1:
+        # re-confirm the winner with a longer window: even with the
+        # cache-clear hygiene, a single short measurement can flatter a
+        # candidate; the reported best is the confirmed (re-measured) rate
+        rate, err = try_measure(build(best["batch"], best["remat"],
+                                      best["grad_accum"]), 2 * args.steps)
+        if rate is not None:
+            best = dict(best, imgs_per_sec_per_chip=round(rate, 2),
+                        confirmed=True)
+        print(f"confirmed best: batch {best['batch']} -> "
+              f"{best['imgs_per_sec_per_chip']} imgs/s/chip", flush=True)
     size = 32 if args.smoke else args.size
     print(json.dumps({"metric": f"tune_batch_{size}px",
                       "best": best, "rows": rows}))
