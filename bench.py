@@ -438,10 +438,6 @@ def main():
         try:
             e2e = measure_e2e(cfg, steps=max(10, steps // 2))
             line["e2e_imgs_s"] = round(e2e, 2)
-            # the closed-gap datapoint: same loop with the dataset resident
-            # in HBM (--device_cache) — no per-step pixels on the wire
-            line["e2e_cached_imgs_s"] = round(measure_e2e(
-                cfg, steps=max(10, steps // 2), device_cache=True), 2)
             # name the input path the rider actually measured: flags can
             # put it on documented non-default/non-parity fast paths
             flags = []
@@ -457,6 +453,18 @@ def main():
         except Exception as e:   # never fail the headline over the rider
             line["e2e_imgs_s"] = None
             line["e2e_note"] = f"unavailable: {e}"
+        # the closed-gap datapoint: same loop with the dataset resident in
+        # HBM (--device_cache) — no per-step pixels on the wire. Guarded
+        # SEPARATELY so a cached-rider failure never discards the
+        # already-measured streaming number; DeviceCacheLoader's rejections
+        # (pods, HBM cap) raise SystemExit, which `except Exception` would
+        # let kill the whole bench before the headline prints.
+        try:
+            line["e2e_cached_imgs_s"] = round(measure_e2e(
+                cfg, steps=max(10, steps // 2), device_cache=True), 2)
+        except (Exception, SystemExit) as e:
+            line["e2e_cached_imgs_s"] = None
+            line["e2e_cached_note"] = f"unavailable: {e}"
     print(json.dumps(line))
 
 

@@ -69,12 +69,14 @@ def test_tune_batch_smoke():
     """tools/tune_batch.py --smoke: sweeps candidates, survives a
     does-not-fit row, prints the best-config JSON line."""
     import json
+    import os
     import subprocess
     import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "tools/tune_batch.py", "--smoke", "--steps", "2",
-         "--candidates", "8"],
-        capture_output=True, text=True, timeout=600)
+        [sys.executable, os.path.join(repo, "tools", "tune_batch.py"),
+         "--smoke", "--steps", "2", "--candidates", "8"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
     assert out.returncode == 0, out.stderr[-800:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["best"] and rec["best"]["batch"] == 8

@@ -60,17 +60,15 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="start every candidate with remat on")
     p.add_argument("--grad_accum", type=int, default=1)
-    p.add_argument("--auto_dials", action="store_true", default=True,
+    p.add_argument("--auto_dials", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="on a failed candidate, retry with remat, then "
-                        "grad_accum 2/4 (default on)")
-    p.add_argument("--no-auto_dials", dest="auto_dials",
-                   action="store_false")
+                        "higher grad_accum")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU config (CI coverage)")
     args = p.parse_args()
 
     if args.smoke:
-        import os
         os.environ["JAX_PLATFORMS"] = "cpu"
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
@@ -108,16 +106,18 @@ def main():
 
     rows = []
     for batch in cands:
-        tried = [(args.remat, args.grad_accum)]
+        # escalation ladder: remat first (resolution dial), then HIGHER
+        # accum (batch dial) — the measured preference order (perf_notes:
+        # accum-on-top-of-remat triples recompute). Deduped; never retries
+        # a lower accum (strictly more activation memory than what failed).
+        ladder = [(args.remat, args.grad_accum)]
         if args.auto_dials:
-            # escalation ladder: remat first (resolution dial), then accum
-            # (batch dial) — the measured preference order (perf_notes:
-            # accum-on-top-of-remat triples recompute)
-            if not args.remat:
-                tried.append((True, args.grad_accum))
-            tried += [(True, 2), (True, 4)]
+            ladder.append((True, args.grad_accum))
+            ladder += [(True, a) for a in (2, 4) if a > args.grad_accum]
+        seen = set()
+        ladder = [x for x in ladder if not (x in seen or seen.add(x))]
         result = None
-        for remat, accum in tried:
+        for remat, accum in ladder:
             if batch % accum:
                 continue
             rate, err = try_measure(build(batch, remat, accum), args.steps)
@@ -130,6 +130,11 @@ def main():
                       "error": err}
             if not args.auto_dials:
                 break
+        if result is None:   # every ladder entry skipped by divisibility
+            result = {"batch": batch, "remat": args.remat,
+                      "grad_accum": args.grad_accum,
+                      "error": f"batch {batch} not divisible by any tried "
+                               f"grad_accum"}
         rows.append(result)
         tag = (f"batch {batch:4d}  remat={result['remat']}  "
                f"accum={result['grad_accum']}  ")
@@ -151,8 +156,13 @@ def main():
         if rate is not None:
             best = dict(best, imgs_per_sec_per_chip=round(rate, 2),
                         confirmed=True)
-        print(f"confirmed best: batch {best['batch']} -> "
-              f"{best['imgs_per_sec_per_chip']} imgs/s/chip", flush=True)
+            print(f"confirmed best: batch {best['batch']} -> "
+                  f"{best['imgs_per_sec_per_chip']} imgs/s/chip",
+                  flush=True)
+        else:
+            print(f"WARNING: re-confirmation of batch {best['batch']} "
+                  f"failed ({err}); reporting the UNCONFIRMED single-"
+                  f"window rate", flush=True)
     size = 32 if args.smoke else args.size
     print(json.dumps({"metric": f"tune_batch_{size}px",
                       "best": best, "rows": rows}))
