@@ -201,7 +201,14 @@ def main():
                             load_size=int(args.size * 143 / 128),
                             n_age_bins=10),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              remat=args.size >= 256 and args.batch > 16),
+                              # match bench.py's gating: 256px runs natively
+                              # to batch 64 since the r3 HBM savings (the
+                              # stale batch>16 gate here profiled the remat
+                              # variant — 129 imgs/s — instead of the 153
+                              # headline config)
+                              remat=(args.size >= 512
+                                     or (args.size >= 256
+                                         and args.batch > 64))),
             train=TrainConfig(
                 pool_size=((50 + args.batch - 1) // args.batch) * args.batch))
         run_and_trace(cfg, args.steps, args.trace_dir)
