@@ -66,7 +66,8 @@ def measure(cfg, steps: int, warmup: int = 3) -> float:
 
 
 def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512,
-                packed: bool = False, device_cache: bool = False) -> float:
+                packed: bool = False, device_cache: bool = False,
+                cache_sharded: bool = False) -> float:
     """HONEST end-to-end rate: synthetic JPEGs on disk -> threaded host
     decode -> with_bins -> mesh-sharded transfer -> device prefetch -> fused
     train step. Proves the headline compute rate survives real host IO
@@ -117,7 +118,8 @@ def measure_e2e(cfg, steps: int, warmup: int = 3, n_images: int = 512,
             # from the timed loop — that is the point of the lever); the
             # per-step host work is one index upload + an on-device gather
             from pcgan_tpu.data.device_cache import DeviceCacheLoader
-            dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=0)
+            dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=0,
+                                   sharded=cache_sharded)
 
             def batches():
                 while True:
@@ -317,6 +319,10 @@ def main():
                    help="e2e mode: dataset resident in HBM, batches "
                         "gathered on device — per-step host->device "
                         "traffic is the batch indices only")
+    p.add_argument("--device_cache_sharded", action="store_true",
+                   help="e2e mode: like --device_cache but the cache's "
+                        "rows shard over the mesh data axis (HBM cost / "
+                        "n_data; batches route via psum_scatter)")
     p.add_argument("--skip_e2e", action="store_true",
                    help="omit the e2e addendum from the default headline "
                         "(compute-only, faster)")
@@ -330,6 +336,8 @@ def main():
         p.error("--quant_int8 is inference-only here; pass --infer")
     if args.packed and not args.e2e:
         p.error("--packed modifies --e2e; pass both")
+    if args.device_cache_sharded:
+        args.device_cache = True
     if args.device_cache and not args.e2e:
         p.error("--device_cache modifies --e2e here; pass both")
     if args.device_cache and args.packed:
@@ -404,7 +412,8 @@ def main():
 
     if args.e2e:
         value = measure_e2e(cfg, steps, packed=args.packed,
-                            device_cache=args.device_cache)
+                            device_cache=args.device_cache,
+                            cache_sharded=args.device_cache_sharded)
     else:
         value = measure(cfg, steps)
 
@@ -417,7 +426,9 @@ def main():
         ref = base.get("imgs_per_sec_per_chip_128px")
         if ref:
             vs = round(value / ref, 2)
-    suffix = ("_e2e_cached" if args.e2e and args.device_cache
+    suffix = ("_e2e_cached_sharded"
+              if args.e2e and args.device_cache_sharded
+              else "_e2e_cached" if args.e2e and args.device_cache
               else "_e2e_packed" if args.e2e and args.packed
               else "_e2e" if args.e2e else "")
     line = {

@@ -28,7 +28,7 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
-    if cfg.data.device_cache:
+    if cfg.data.device_cache or cfg.data.device_cache_sharded:
         print("note: --device_cache is a training-loop lever; evaluate.py "
               "streams from the host (flag ignored)", flush=True)
 

@@ -76,6 +76,12 @@ class DataConfig:
     # sample stream is bit-identical to the host Loader (pinned by test).
     # Single-process only; 0 = off = stream from the host (parity default).
     device_cache: bool = False
+    # shard the cache's rows over the mesh data axis instead of replicating:
+    # per-device HBM cost divides by the axis size and pods are supported
+    # (each host decodes only its row block; dataset files must be visible
+    # on every host). Batches route via one psum_scatter over ICI. Implies
+    # --device_cache; same bit-identical sample stream (pinned by test).
+    device_cache_sharded: bool = False
 
 
 @dataclass(frozen=True)
@@ -307,6 +313,7 @@ _FLAG_MAP = {
     "pallas_pipeline": ("data", "pallas_pipeline"),
     "prefetch": ("data", "prefetch"),
     "device_cache": ("data", "device_cache"),
+    "device_cache_sharded": ("data", "device_cache_sharded"),
     "model": ("model", "model"),
     "netG": ("model", "netG"),
     "netD": ("model", "netD"),
@@ -476,6 +483,13 @@ _FLAG_HELP = {
                     "bit-identical to the host Loader. Single-process "
                     "only; consumed by train.py and bench.py (single-pass "
                     "CLIs like test.py/evaluate.py note and ignore it)",
+    "device_cache_sharded": "shard the device cache's rows over the mesh "
+                            "data axis instead of replicating (implies "
+                            "--device_cache): per-device HBM cost divides "
+                            "by the axis size, pods supported (each host "
+                            "decodes only its row block), batches route "
+                            "via one psum_scatter over ICI; same "
+                            "bit-identical sample stream",
 }
 
 

@@ -17,7 +17,7 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
-    if cfg.data.device_cache:
+    if cfg.data.device_cache or cfg.data.device_cache_sharded:
         # no silently-dead flags (project convention): the cache is a
         # training-loop lever; a single pass over the test set would pay
         # the full upload for one read

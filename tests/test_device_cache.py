@@ -27,14 +27,18 @@ def _cfg(extra=()):
         "--dtype", "float32", *extra], is_train=True)
 
 
-def test_stream_parity_with_host_loader():
+@pytest.mark.parametrize("sharded", [False, True],
+                         ids=["replicated", "sharded"])
+def test_stream_parity_with_host_loader(sharded):
     """Every epoch's batches (values AND order) match the host path, and
-    come out sharded on the mesh data axis."""
+    come out sharded on the mesh data axis — in BOTH cache layouts (the
+    sharded layout routes rows through a psum_scatter; same contract)."""
     cfg = _cfg()
     mesh = make_mesh((-1,), ("data",))
     ds = data_loader.create_dataset(cfg, train=True)
     ld = data_loader.make_process_loader(cfg, ds, shuffle=True, seed=3)
-    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3,
+                           sharded=sharded)
     assert len(ld) == len(dc)
     for _ in range(2):
         host = list(with_bins(iter(ld), cfg.data.n_age_bins,
@@ -47,6 +51,44 @@ def test_stream_parity_with_host_loader():
                 assert np.array_equal(hb[k], np.asarray(db[k])), k
             assert db["image"].dtype == np.uint8
             assert db["image"].sharding.spec[0] == "data"
+
+
+def test_sharded_cache_splits_rows_over_data_axis():
+    """The sharded layout's HBM contract: each device holds ceil(n/D) cache
+    rows (padded to a multiple of the axis), NOT the full dataset, and
+    eval_iter parity holds through the psum_scatter gather."""
+    cfg = _cfg()
+    mesh = make_mesh((-1,), ("data",))
+    n_dev = mesh.devices.size
+    ds = data_loader.create_dataset(cfg, train=True)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3, sharded=True)
+    rep = DeviceCacheLoader(cfg, ds, mesh, shuffle=True, seed=3)
+    n = len(ds)
+    rows = -(-n // n_dev)
+    for arr in dc._cache.values():
+        assert all(s.data.shape[0] == rows for s in arr.addressable_shards)
+        assert arr.shape[0] == rows * n_dev
+    for arr in rep._cache.values():   # replicated: every device holds all n
+        assert all(s.data.shape[0] == n for s in arr.addressable_shards)
+    for a, b in zip(dc.eval_iter(), rep.eval_iter()):
+        for k in a:
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_sharded_cache_composes_with_three_axis_mesh():
+    """data x spatial x model mesh: cache rows shard over 'data' only
+    (replicated over the other axes); the gather's batch comes out on the
+    data axis like put_global_batch would place it."""
+    cfg = _cfg()
+    mesh = make_mesh((2, 2, 2), ("data", "spatial", "model"))
+    ds = data_loader.create_dataset(cfg, train=True)
+    dc = DeviceCacheLoader(cfg, ds, mesh, shuffle=False, seed=0, sharded=True)
+    ld = data_loader.make_process_loader(cfg, ds, shuffle=False)
+    hb = next(with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age))
+    db = next(iter(dc))
+    assert db["image"].sharding.spec[0] == "data"
+    for k in hb:
+        assert np.array_equal(hb[k], np.asarray(db[k])), k
 
 
 def test_skip_next_index_level_resume():
@@ -117,9 +159,12 @@ def test_cli_metric_stream_identical(tmp_path):
                              str(tmp_path)])
     train_cli.main(common + ["--name", "cached", "--checkpoints_dir",
                              str(tmp_path), "--device_cache"])
+    train_cli.main(common + ["--name", "sharded", "--checkpoints_dir",
+                             str(tmp_path), "--device_cache_sharded"])
     a = losses(os.path.join(tmp_path, "host", "metrics.jsonl"))
     b = losses(os.path.join(tmp_path, "cached", "metrics.jsonl"))
-    assert a and a == b
+    c = losses(os.path.join(tmp_path, "sharded", "metrics.jsonl"))
+    assert a and a == b == c
 
 
 def test_eval_iter_matches_host_eval_loader():

@@ -118,6 +118,27 @@ def test_two_process_distributed_eval():
 
 
 @pytest.mark.slow
+def test_two_process_sharded_device_cache():
+    """--device_cache_sharded on a pod: each process decodes only its row
+    block, the cache rows shard over the 4-device mesh, and the
+    psum_scatter gather reassembles the single-process host Loader's exact
+    sample stream across the process boundary."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_cache_worker.py")
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = _drain(procs, 300)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid}: OK" in out
+
+
+@pytest.mark.slow
 def test_two_process_model_axis_step(tmp_path):
     """The GSPMD data x model step is process-topology invariant: 2
     jax.distributed processes over the same 2x2 mesh produce the same

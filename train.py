@@ -63,15 +63,18 @@ def main(argv=None):
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
-        if cfg.data.device_cache:
+        if cfg.data.device_cache or cfg.data.device_cache_sharded:
             # --device_cache: the whole dataset rides to HBM once; epochs
             # gather batches on device (same shuffle seeding as the host
             # Loader, so the sample stream — and exact resume — is
             # unchanged). Eval loaders keep streaming from ld.ds.
+            # --device_cache_sharded splits the rows over the data axis
+            # (HBM cost / n_data, pod-capable) with a psum_scatter gather.
             from pcgan_tpu.data.device_cache import DeviceCacheLoader
             ld = DeviceCacheLoader(cfg, ds, mesh,
                                    shuffle=not cfg.data.serial_batches,
-                                   seed=cfg.train.seed)
+                                   seed=cfg.train.seed,
+                                   sharded=cfg.data.device_cache_sharded)
         else:
             ld = data_loader.make_process_loader(
                 cfg, ds, shuffle=not cfg.data.serial_batches,
@@ -527,13 +530,14 @@ def _train_comparator(cfg, mesh, logger, run_dir):
     # pod-correct: disjoint per-host pair slices (put_global_batch in
     # _shard_iter assembles the global batch — an unsharded Loader here
     # would duplicate every pair process_count times)
-    if cfg.data.device_cache:
+    if cfg.data.device_cache or cfg.data.device_cache_sharded:
         # pairwise batches cache exactly like aging ones (image_a/image_b
         # u8 canvases + labels); the held-out eval and anchor-fitting
         # loaders stay host-side (small, once per epoch / once at the end)
         from pcgan_tpu.data.device_cache import DeviceCacheLoader
         ld = DeviceCacheLoader(cfg, train_ds, mesh, shuffle=True,
-                               seed=cfg.train.seed)
+                               seed=cfg.train.seed,
+                               sharded=cfg.data.device_cache_sharded)
     else:
         ld = data_loader.make_process_loader(cfg, train_ds, shuffle=True,
                                              seed=cfg.train.seed)
