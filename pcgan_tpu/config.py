@@ -239,6 +239,10 @@ class RunConfig:
     # default (FID is the reference-parity metric); beyond-reference opt-in.
     prdc: bool = False
     prdc_k: int = 5                  # k-NN neighborhood size (prdc-pkg default)
+    # SSIM identity preservation (ops/ssim.py): mean SSIM between each input
+    # face and its age-translated output, from the same eval pass — the
+    # label-free identity-drift proxy face-aging papers report
+    ssim: bool = False
     # per-age-bin conditional FID: FID between bin-b reals and bin-b-targeted
     # fakes for every bin (the per-age-group breakdown aging papers report;
     # a good marginal FID can hide a collapsed extreme age). onehot mode
@@ -379,6 +383,7 @@ _FLAG_MAP = {
     "kid_subset_size": ("run", "kid_subset_size"),
     "prdc": ("run", "prdc"),
     "prdc_k": ("run", "prdc_k"),
+    "ssim": ("run", "ssim"),
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
     "debug_nans": ("run", "debug_nans"),
@@ -435,6 +440,11 @@ _FLAG_HELP = {
             "Beyond-reference opt-in",
     "prdc_k": "with --prdc: k-NN neighborhood size (needs eval budget > k "
               "per side; 5 = the reference prdc package default)",
+    "ssim": "also report mean SSIM between each input face and its "
+            "age-translated output — the label-free identity-preservation "
+            "proxy (Wang 2004 protocol: 11x11 Gaussian window, valid conv, "
+            "data range 2). From the same eval pass as FID. "
+            "Beyond-reference opt-in",
     "fid_per_bin": "also report conditional FID per age bin (fid_bin_<b> + "
                    "fid_per_bin_mean): bin-b reals vs bin-b-targeted fakes "
                    "— catches a collapsed extreme age a good marginal FID "

@@ -28,7 +28,10 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
 
     --kid additionally retains the feature rows in device-resident buffers
     and reports kid/kid_std from the same pass (ops/kid.py — the unbiased
-    small-sample companion metric).
+    small-sample companion metric). --ssim adds the mean SSIM between each
+    input face and its age-translated output (ops/ssim.py — the
+    identity-preservation proxy face-aging papers report), accumulated as
+    one device scalar over the same pass.
 
     cond_mode=score: targets are the permuted real bins' score-ladder values
     (so the generated condition marginal still matches the real one), encoded
@@ -48,6 +51,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     kid_on = cfg.run.kid
     per_bin = cfg.run.fid_per_bin
     prdc_on = cfg.run.prdc
+    ssim_on = cfg.run.ssim
     if per_bin and score_mode:
         raise ValueError("--fid_per_bin needs discrete age bins "
                          "(cond_mode=onehot); score mode has no bins")
@@ -87,7 +91,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
 
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n,
-                   bufs):
+                   bufs, ssim_sum):
         from pcgan_tpu.data.binning import bin_to_score, normalize_score
         # PRNGKey(0) is deliberate: the eval transform (train=False) is a
         # deterministic center crop with no flip, so the key is never
@@ -134,9 +138,15 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             ok = (mu >= lo[target_bin]) & (mu < hi[target_bin])
             hits = hits + jnp.sum(ok)
             n = n + mu.shape[0]
+        if ssim_on:
+            # identity preservation (--ssim): SSIM between each INPUT face
+            # and its age-translated output, from the same pass (ops/ssim.py)
+            from pcgan_tpu.ops.ssim import ssim_pair
+            ssim_sum = ssim_sum + jnp.sum(
+                ssim_pair(real, fake.astype(jnp.float32)))
         # keep the streaming stats replicated: the per-shard partial sums
         # all-reduce here (the 'psum' of the shard_map design, GSPMD-derived)
-        return _constrain_repl((r_stats, f_stats, hits, n, bufs))
+        return _constrain_repl((r_stats, f_stats, hits, n, bufs, ssim_sum))
 
     def _put_batch(v):
         if isinstance(v, jax.Array):
@@ -157,11 +167,12 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         r_stats, f_stats = fid_ops.init_stats(d), fid_ops.init_stats(d)
         hits = jnp.zeros((), jnp.int32)
         n = jnp.zeros((), jnp.int32)
+        ssim_sum = jnp.zeros((), jnp.float32)
         if mesh is not None:
             from pcgan_tpu.parallel.mesh import replicated
             rep = replicated(mesh)
-            g_vars, r_stats, f_stats, hits, n = jax.device_put(
-                (g_vars, r_stats, f_stats, hits, n), rep)
+            g_vars, r_stats, f_stats, hits, n, ssim_sum = jax.device_put(
+                (g_vars, r_stats, f_stats, hits, n, ssim_sum), rep)
         rng = np.random.default_rng(seed)
         # multi-process: each host's loader yields its DISJOINT per-host
         # slice and put_global_batch assembles the global batch, so the
@@ -200,14 +211,16 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                     f"the first batch); feed fixed-size batches")
             perm = _local_perm_slice(rng, raw["image"].shape[0],
                                      n_proc, proc_idx)
-            r_stats, f_stats, hits, n, bufs = eval_batch(
+            r_stats, f_stats, hits, n, bufs, ssim_sum = eval_batch(
                 g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
-                _put_batch(perm), r_stats, f_stats, hits, n, bufs)
+                _put_batch(perm), r_stats, f_stats, hits, n, bufs, ssim_sum)
             seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
         out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),
                "fid_images": seen}
+        if ssim_on and seen:
+            out["ssim"] = float(ssim_sum) / seen
         if bufs is not None:
             count = min(int(bufs[4]), bufs[0].shape[0])
             if kid_on and count >= 2:

@@ -451,3 +451,79 @@ def test_unet_export_roundtrip(tmp_path):
         want = np.asarray(G.apply(v, jnp.asarray(imgs), jnp.asarray(cond),
                                   train=False))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_http_server_hot_reload(tmp_path):
+    """POST /reload hot-swaps the served artifact without a restart:
+    traffic before/after resolves against the OLD/NEW module respectively,
+    /healthz reflects the swap, and a bad path 400s leaving the old
+    artifact serving."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.error
+    import urllib.request
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import jax
+    import serve_http
+    from pcgan_tpu.models.registry import init_params
+    from pcgan_tpu.serving import export_generator, load_exported
+    import jax.numpy as jnp
+    from pcgan_tpu.models import define_G
+
+    cfg = _tiny_cfg()
+    G, v1 = _init_g(cfg)
+    v2 = init_params(G, jax.random.PRNGKey(99),
+                     jnp.zeros((1, 32, 32, 3)),
+                     jnp.zeros((1, cfg.cond_nc)), train=False)
+    export_generator(cfg, v1, str(tmp_path / "a"), G=G)
+    export_generator(cfg, v2, str(tmp_path / "b"), G=G)
+
+    httpd, _ = serve_http.make_server(str(tmp_path / "a"), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    imgs, cond = _rand_inputs(cfg, 2)
+    buf = io.BytesIO()
+    np.savez(buf, images=imgs, cond=cond)
+    payload = buf.getvalue()
+
+    def generate():
+        req = urllib.request.Request(f"{base}/generate", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.load(io.BytesIO(r.read()))
+
+    try:
+        want_a = load_exported(str(tmp_path / "a"))(imgs, cond)
+        want_b = load_exported(str(tmp_path / "b"))(imgs, cond)
+        np.testing.assert_allclose(generate(), want_a, atol=1e-6)
+
+        body = jsonlib.dumps({"artifact_dir": str(tmp_path / "b")}).encode()
+        req = urllib.request.Request(f"{base}/reload", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            rec = jsonlib.loads(r.read())
+        assert rec["status"] == "reloaded"
+        np.testing.assert_allclose(generate(), want_b, atol=1e-6)
+        assert np.abs(want_a - want_b).max() > 1e-3   # the swap is visible
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = jsonlib.loads(r.read())
+        assert health["artifact_dir"] == str(tmp_path / "b")
+
+        bad = jsonlib.dumps({"artifact_dir": str(tmp_path / "nope")}).encode()
+        req = urllib.request.Request(f"{base}/reload", data=bad,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        np.testing.assert_allclose(generate(), want_b, atol=1e-6)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            st = jsonlib.loads(r.read())
+        assert st["reloads"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -12,6 +12,9 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
     POST /progression  body: .npz {images}
                        -> .npy grid (B, n_conditions, H, W, C) f32
     GET  /healthz      -> JSON artifact metadata
+    POST /reload       body: JSON {"artifact_dir": path} (or empty = re-read
+                       the current dir) -> hot-swaps the served artifact;
+                       traffic keeps serving the old module during the load
 
 Payloads are numpy's own serialization (np.savez/np.load,
 allow_pickle=False — no code execution path). Dispatch is serialized
@@ -64,8 +67,11 @@ class Batcher:
     log2(max(max_rows, largest single request)) shapes instead of one per
     distinct request-mix size."""
 
-    def __init__(self, served, window_ms: float, max_rows: int = 256):
-        self._served = served
+    def __init__(self, served_fn, window_ms: float, max_rows: int = 256):
+        # served_fn: () -> ServedGenerator — read per cohort so POST /reload
+        # swaps the artifact without draining the batcher (in-flight cohorts
+        # finish on the module they started with)
+        self._served_fn = served_fn
         self._window = window_ms / 1e3
         self._max_rows = max_rows
         self._lock = threading.Lock()
@@ -123,7 +129,7 @@ class Batcher:
                         [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
                     conds = np.concatenate(
                         [conds, np.repeat(conds[-1:], pad, axis=0)], axis=0)
-                out = self._served(imgs, conds)[:n]
+                out = self._served_fn()(imgs, conds)[:n]
                 self.dispatches += 1
                 at = 0
                 for (_, _, ev, slot), k in zip(batch, sizes):
@@ -157,20 +163,30 @@ def make_server(artifact_dir: str, host: str, port: int,
     from pcgan_tpu.serving import load_exported
 
     t_start = time.time()
-    stats = {"requests": 0, "rows": 0, "errors": 0}
+    stats = {"requests": 0, "rows": 0, "errors": 0, "reloads": 0}
     stats_lock = threading.Lock()
 
-    served = load_exported(artifact_dir)
-    if served.meta.get("kind", "generator") != "generator":
-        raise ValueError(
-            f"{artifact_dir} holds a {served.meta['kind']} artifact; "
-            f"serve_http serves generator exports (score comparator "
-            f"artifacts through pcgan_tpu.serving.ServedComparator)")
+    def _load_checked(path):
+        served = load_exported(path)
+        if served.meta.get("kind", "generator") != "generator":
+            raise ValueError(
+                f"{path} holds a {served.meta['kind']} artifact; "
+                f"serve_http serves generator exports (score comparator "
+                f"artifacts through pcgan_tpu.serving.ServedComparator)")
+        return served
+
+    # the live artifact lives in a one-slot holder so POST /reload can swap
+    # it atomically (python attribute assignment); requests read it once at
+    # entry, so in-flight work finishes on the module it started with
+    current = {"served": _load_checked(artifact_dir),
+               "artifact_dir": os.path.abspath(artifact_dir)}
+    served = current["served"]
     lock = threading.Lock()
-    batcher = (Batcher(served, batch_window_ms)
+    batcher = (Batcher(lambda: current["served"], batch_window_ms)
                if batch_window_ms > 0 else None)
 
     def dispatch(images, cond):
+        served = current["served"]
         if batcher is None:
             with lock:
                 return served(images, cond)
@@ -199,7 +215,9 @@ def make_server(artifact_dir: str, host: str, port: int,
 
         def do_GET(self):
             if self.path == "/healthz":
-                return self._json(200, {"status": "ok", "meta": served.meta})
+                return self._json(200, {
+                    "status": "ok", "meta": current["served"].meta,
+                    "artifact_dir": current["artifact_dir"]})
             if self.path == "/stats":
                 with stats_lock:
                     body = dict(stats)
@@ -215,6 +233,26 @@ def make_server(artifact_dir: str, host: str, port: int,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
+                if self.path == "/reload":
+                    # hot swap: load the new artifact OFF the request lock
+                    # (a load costs seconds; traffic keeps serving the old
+                    # module), then swap the holder atomically. Body: JSON
+                    # {"artifact_dir": path} or empty = re-read the current
+                    # dir (the trainer re-exported in place).
+                    req = json.loads(body) if body else {}
+                    if not isinstance(req, dict):
+                        raise ValueError("/reload body must be a JSON "
+                                         "object or empty")
+                    path = req.get("artifact_dir", current["artifact_dir"])
+                    new_served = _load_checked(path)
+                    current["served"] = new_served
+                    current["artifact_dir"] = os.path.abspath(path)
+                    with stats_lock:
+                        stats["reloads"] += 1
+                    return self._json(200, {"status": "reloaded",
+                                            "artifact_dir":
+                                                current["artifact_dir"],
+                                            "meta": new_served.meta})
                 if self.path == "/generate":
                     images, cond = _load_npz(body, "images", "cond")
                     out = dispatch(images, cond)
@@ -223,11 +261,12 @@ def make_server(artifact_dir: str, host: str, port: int,
                     (images,) = _load_npz(body, "images")
                     if batcher is None:
                         with lock:
-                            out = served.progression(images)
+                            out = current["served"].progression(images)
                     else:
                         # the grid rides the coalescing dispatch; the
                         # repeat/tile pairing stays in ONE place
-                        out = served.progression(images, call=dispatch)
+                        out = current["served"].progression(images,
+                                                            call=dispatch)
                     rows = out.shape[0] * out.shape[1]
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
@@ -235,7 +274,8 @@ def make_server(artifact_dir: str, host: str, port: int,
                     stats["requests"] += 1
                     stats["rows"] += int(rows)
                 self._reply(200, _npy_bytes(out), "application/octet-stream")
-            except (KeyError, ValueError, OSError) as e:
+            except (KeyError, ValueError, OSError,
+                    json.JSONDecodeError) as e:
                 with stats_lock:
                     stats["errors"] += 1
                 self._json(400, {"error": str(e)})
@@ -248,6 +288,7 @@ def make_server(artifact_dir: str, host: str, port: int,
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.batcher = batcher            # introspection (stats/tests)
+    httpd.current = current
     return httpd, served
 
 
