@@ -80,6 +80,11 @@ class DeviceCacheLoader:
         self.sharded = sharded
         n = len(ds)
         n_data = mesh.shape.get("data", 1)
+        if sharded and "data" not in mesh.shape:
+            raise SystemExit(
+                "--device_cache_sharded shards rows over the mesh's 'data' "
+                f"axis, but the mesh has axes {tuple(mesh.axis_names)}; "
+                "use --device_cache (replicated) or add a data axis")
         if n < self.bs:
             raise SystemExit(
                 f"--device_cache: dataset has {n} rows < batch_size {self.bs}")
