@@ -527,3 +527,43 @@ def test_http_server_hot_reload(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_server_prometheus_metrics(tmp_path):
+    """GET /metrics: Prometheus text exposition of the same counters as
+    /stats (scrape surface for production monitoring)."""
+    import io
+    import threading
+    import urllib.request
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from pcgan_tpu.serving import export_generator
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        imgs, cond = _rand_inputs(cfg, 2)
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs, cond=cond)
+        req = urllib.request.Request(f"{base}/generate", data=buf.getvalue(),
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=120).read()
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        lines = dict(l.split(" ", 1) for l in text.strip().splitlines()
+                     if not l.startswith("#"))
+        assert lines["pcgan_requests_total"] == "1"
+        assert lines["pcgan_rows_total"] == "2"
+        assert lines["pcgan_errors_total"] == "0"
+        assert lines["pcgan_reloads_total"] == "0"
+        assert float(lines["pcgan_uptime_seconds"]) >= 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -12,6 +12,7 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
     POST /progression  body: .npz {images}
                        -> .npy grid (B, n_conditions, H, W, C) f32
     GET  /healthz      -> JSON artifact metadata
+    GET  /metrics      -> Prometheus text format (scrape-ready counters)
     POST /reload       body: JSON {"artifact_dir": path} (or empty = re-read
                        the current dir) -> hot-swaps the served artifact;
                        traffic keeps serving the old module during the load
@@ -67,11 +68,7 @@ class Batcher:
     log2(max(max_rows, largest single request)) shapes instead of one per
     distinct request-mix size."""
 
-    def __init__(self, served_fn, window_ms: float, max_rows: int = 256):
-        # served_fn: () -> ServedGenerator — read per cohort so POST /reload
-        # swaps the artifact without draining the batcher (in-flight cohorts
-        # finish on the module they started with)
-        self._served_fn = served_fn
+    def __init__(self, window_ms: float, max_rows: int = 256):
         self._window = window_ms / 1e3
         self._max_rows = max_rows
         self._lock = threading.Lock()
@@ -80,11 +77,15 @@ class Batcher:
         self.dispatches = 0                 # device-call counter (stats)
         threading.Thread(target=self._run, daemon=True).start()
 
-    def submit(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
+    def submit(self, images: np.ndarray, cond: np.ndarray,
+               served) -> np.ndarray:
+        # each request carries the module it was VALIDATED against; cohorts
+        # only fuse same-module requests, so a POST /reload mid-window can
+        # never concatenate payloads shaped for different artifacts
         ev = threading.Event()
         slot = {}
         with self._cv:
-            self._queue.append((images, cond, ev, slot))
+            self._queue.append((images, cond, ev, slot, served))
             self._cv.notify()
         ev.wait()
         if "err" in slot:
@@ -104,7 +105,8 @@ class Batcher:
         cohort, rows = [], 0
         while self._queue:
             k = self._queue[0][0].shape[0]
-            if cohort and rows + k > self._max_rows:
+            if cohort and (rows + k > self._max_rows
+                           or self._queue[0][4] is not cohort[0][4]):
                 break
             cohort.append(self._queue.pop(0))
             rows += k
@@ -129,15 +131,15 @@ class Batcher:
                         [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
                     conds = np.concatenate(
                         [conds, np.repeat(conds[-1:], pad, axis=0)], axis=0)
-                out = self._served_fn()(imgs, conds)[:n]
+                out = batch[0][4](imgs, conds)[:n]
                 self.dispatches += 1
                 at = 0
-                for (_, _, ev, slot), k in zip(batch, sizes):
+                for (_, _, ev, slot, _s), k in zip(batch, sizes):
                     slot["out"] = out[at:at + k]
                     at += k
                     ev.set()
             except Exception as e:
-                for _, _, ev, slot in batch:
+                for _, _, ev, slot, _s in batch:
                     slot["err"] = e
                     ev.set()
 
@@ -182,7 +184,7 @@ def make_server(artifact_dir: str, host: str, port: int,
                "artifact_dir": os.path.abspath(artifact_dir)}
     served = current["served"]
     lock = threading.Lock()
-    batcher = (Batcher(lambda: current["served"], batch_window_ms)
+    batcher = (Batcher(batch_window_ms)
                if batch_window_ms > 0 else None)
 
     def dispatch(images, cond):
@@ -194,7 +196,7 @@ def make_server(artifact_dir: str, host: str, port: int,
         if images.shape[0] == 0:           # same contract as the direct path
             return served._empty(images)
         _precheck(images, cond, served.meta)
-        return batcher.submit(images, cond)
+        return batcher.submit(images, cond, served)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -218,6 +220,28 @@ def make_server(artifact_dir: str, host: str, port: int,
                 return self._json(200, {
                     "status": "ok", "meta": current["served"].meta,
                     "artifact_dir": current["artifact_dir"]})
+            if self.path == "/metrics":
+                # Prometheus text exposition format — the standard scrape
+                # surface for production monitoring; same counters as /stats
+                with stats_lock:
+                    st = dict(stats)
+                lines = [
+                    "# TYPE pcgan_requests_total counter",
+                    f"pcgan_requests_total {st['requests']}",
+                    "# TYPE pcgan_rows_total counter",
+                    f"pcgan_rows_total {st['rows']}",
+                    "# TYPE pcgan_errors_total counter",
+                    f"pcgan_errors_total {st['errors']}",
+                    "# TYPE pcgan_reloads_total counter",
+                    f"pcgan_reloads_total {st['reloads']}",
+                    "# TYPE pcgan_device_dispatches_total counter",
+                    f"pcgan_device_dispatches_total "
+                    f"{batcher.dispatches if batcher else st['requests']}",
+                    "# TYPE pcgan_uptime_seconds gauge",
+                    f"pcgan_uptime_seconds {time.time() - t_start:.1f}",
+                ]
+                return self._reply(200, ("\n".join(lines) + "\n").encode(),
+                                   "text/plain; version=0.0.4")
             if self.path == "/stats":
                 with stats_lock:
                     body = dict(stats)
