@@ -453,3 +453,33 @@ def test_eval_use_ema_scores_the_twin(tmp_path):
         train_cli.main(COMMON + [
             "--checkpoints_dir", str(tmp_path / "x"), "--niter", "1",
             "--eval_fid_epoch_freq", "1", "--eval_use_ema"])
+
+
+@pytest.mark.slow
+def test_init_g_from_cross_resolution(workdir):
+    """Progressive-resolution fine-tuning: a fully-convolutional resnet G's
+    params are resolution-independent, so a checkpoint trained at 32px
+    warm-starts a 64px run via --init_g_from (the cheap-pretrain ->
+    fine-tune-at-target-res recipe; MIGRATION.md SS7)."""
+    ckpt_dir = str(workdir / "ckpt_xres")
+
+    import train as train_cli
+
+    train_cli.main(COMMON + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "0",
+        "--name", "lowres",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "lowres", "latest_G"))
+
+    # same netG/ngf, DOUBLE the resolution: the G tree must load cleanly
+    hi = [a for a in COMMON]
+    hi[hi.index("--crop_size") + 1] = "64"
+    hi[hi.index("--load_size") + 1] = "72"
+    train_cli.main(hi + [
+        "--checkpoints_dir", ckpt_dir, "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "2", "--save_epoch_freq", "1", "--pool_size", "0",
+        "--name", "hires", "--init_g_from", "lowres/latest",
+        "--max_dataset_size", "4",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "hires", "latest_G"))
