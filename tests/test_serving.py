@@ -457,7 +457,9 @@ def test_http_server_hot_reload(tmp_path):
     """POST /reload hot-swaps the served artifact without a restart:
     traffic before/after resolves against the OLD/NEW module respectively,
     /healthz reflects the swap, and a bad path 400s leaving the old
-    artifact serving."""
+    artifact serving. warmup_batch=1 exercises the pre-swap compile of the
+    incoming module (the reload path warms BEFORE publishing so the first
+    post-swap request never pays cold compile)."""
     import io
     import json as jsonlib
     import threading
@@ -480,7 +482,8 @@ def test_http_server_hot_reload(tmp_path):
     export_generator(cfg, v1, str(tmp_path / "a"), G=G)
     export_generator(cfg, v2, str(tmp_path / "b"), G=G)
 
-    httpd, _ = serve_http.make_server(str(tmp_path / "a"), "127.0.0.1", 0)
+    httpd, _ = serve_http.make_server(str(tmp_path / "a"), "127.0.0.1", 0,
+                                      warmup_batch=1)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{port}"
