@@ -38,7 +38,7 @@ import optax
 from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
-from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty
+from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
 from pcgan_tpu.train import TrainState, make_optimizer
 from pcgan_tpu.utils import image_pool
 
@@ -190,6 +190,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                         xx = aug(jax.random.fold_in(r_aug, 0), xx)
                     pred, ds2 = d_apply(d_params, xx, cc, d_state)
                     pred_real, pred_fake = pred[:bsz], pred[bsz:]
+                    r1_real = xx[:bsz]
                 else:
                     real_d, fake_dd = real, fake_d.astype(compute_dtype)
                     if use_aug:
@@ -201,6 +202,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                         d_params, fake_dd,
                         cond_fake_d.astype(compute_dtype), d_state,
                         d_state=ds1)
+                    r1_real = real_d
                 l_real = gan_loss(pred_real, True, t.gan_mode)
                 l_fake = gan_loss(pred_fake, False, t.gan_mode)
                 loss = 0.5 * (l_real + l_fake)
@@ -215,21 +217,31 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                         {"params": d_params}, gp_real, gp_fake,
                         cond_target, r_gp)
                     loss = l_real + l_fake + t.lambda_gp * gp
-                return loss, (l_real, l_fake, ds2)
+                if t.lambda_r1 > 0:
+                    # --lambda_r1: same wiring as the fused step (train.py)
+                    r1 = r1_penalty(
+                        lambda v, x, c: d_apply(v["params"], x, c,
+                                                d_state)[0],
+                        {"params": d_params}, r1_real, cond_real)
+                    loss = loss + (0.5 * t.lambda_r1) * r1
+                else:
+                    r1 = jnp.float32(0.0)
+                return loss, (l_real, l_fake, r1, ds2)
 
-            (d_loss, (l_r, l_f, new_d_state)), d_grads = (
+            (d_loss, (l_r, l_f, r1, new_d_state)), d_grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
             d_gsum = jax.tree.map(jnp.add, d_gsum, d_grads)
             sums = (sums[0] + d_loss.astype(jnp.float32),
                     sums[1] + l_r.astype(jnp.float32),
-                    sums[2] + l_f.astype(jnp.float32))
+                    sums[2] + l_f.astype(jnp.float32),
+                    sums[3] + r1.astype(jnp.float32))
             return (new_pool, d_gsum, new_g_state, new_d_state, sums), None
 
         zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
         (new_pool, d_gsum, new_g_state, new_d_state, d_sums), _ = (
             jax.lax.scan(phase_a,
                          (state.pool, zeros_d, state.g_state, state.d_state,
-                          (jnp.float32(0),) * 3),
+                          (jnp.float32(0),) * 4),
                          (idx, mbs)))
         d_grads = psum_mean(jax.tree.map(lambda g: g / accum, d_gsum))
         d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
@@ -316,6 +328,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             "loss_D": d_sums[0] / n, "loss_D_real": d_sums[1] / n,
             "loss_D_fake": d_sums[2] / n,
         }
+        if t.lambda_r1 > 0:
+            metrics["loss_D_r1"] = d_sums[3] / n
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts from the apply_if_finite
             # wrapper make_optimizer added (same lever as the fused step)

@@ -132,6 +132,12 @@ class TrainConfig:
     lambda_L1: float = 100.0         # identity/reconstruction weight
     lambda_cond: float = 10.0        # comparator condition-consistency weight
     lambda_gp: float = 10.0          # gradient penalty (wgangp only)
+    # R1 zero-centered gradient penalty on REAL images (Mescheder 2018;
+    # gamma — the step adds lambda_r1/2 * E[||grad_x D(x)||^2] to the D
+    # loss). The StyleGAN-family stability lever for any gan_mode; pairs
+    # naturally with lsgan/hinge/vanilla (wgangp already carries its own
+    # interpolate penalty). Beyond-reference opt-in; 0 = off = parity.
+    lambda_r1: float = 0.0
     pool_size: int = 50              # fake-image pool for D (C12)
     niter: int = 100                 # epochs at constant lr
     niter_decay: int = 100           # epochs of linear lr decay to 0
@@ -221,6 +227,11 @@ class RunConfig:
     epoch: str = "latest"            # which checkpoint to load at test time
     use_ema: bool = False            # sample from the EMA G twin ({tag}_G_ema)
     num_test: int = 50
+    # smooth aging animation (test.py): render an N-frame condition sweep
+    # per test image and save it as a looping animated GIF next to the
+    # grid. score mode sweeps the continuous range; onehot mode blends
+    # adjacent bins' one-hots (soft labels). 0 = off = reference parity.
+    anim: int = 0
     # FID feature space: 'random' (fixed-seed conv net, in-sandbox default),
     # 'comparator' (pretrained comparator trunk via --comparator_path), or
     # 'pth:<file>' (imported torchvision/pytorch-fid InceptionV3 —
@@ -348,6 +359,7 @@ _FLAG_MAP = {
     "lambda_L1": ("train", "lambda_L1"),
     "lambda_cond": ("train", "lambda_cond"),
     "lambda_gp": ("train", "lambda_gp"),
+    "lambda_r1": ("train", "lambda_r1"),
     "skip_nonfinite": ("train", "skip_nonfinite"),
     "pool_size": ("train", "pool_size"),
     "niter": ("train", "niter"),
@@ -377,6 +389,7 @@ _FLAG_MAP = {
     "epoch": ("run", "epoch"),
     "use_ema": ("run", "use_ema"),
     "num_test": ("run", "num_test"),
+    "anim": ("run", "anim"),
     "fid_features": ("run", "fid_features"),
     "kid": ("run", "kid"),
     "kid_subsets": ("run", "kid_subsets"),
@@ -416,6 +429,13 @@ _FLAG_HELP = {
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "
                    "Default off: resize runs on device (TPU-native)",
+    "lambda_r1": "gamma for the R1 zero-centered gradient penalty on real "
+                 "images (Mescheder 2018): adds gamma/2 * E[||grad_x "
+                 "D(x)||^2] to the D loss — the StyleGAN-family stability "
+                 "lever for small-dataset GANs. Works with any gan_mode "
+                 "(wgangp already carries its own interpolate penalty). "
+                 "Beyond-reference opt-in; 0 = off = parity. Typical "
+                 "values 0.1-10; streams as loss_D_r1",
     "skip_nonfinite": "N > 0: a train step whose gradients contain inf/nan "
                       "applies a ZERO update (params/Adam moments/EMA hold) "
                       "instead of poisoning the run; after N consecutive "
@@ -477,6 +497,11 @@ _FLAG_HELP = {
                   "rejected by train.py",
     "use_ema": "sample from the {tag}_G_ema twin (needs --ema_decay "
                "training)",
+    "anim": "N > 0: also render an N-frame SMOOTH aging animation per test "
+            "image (looping GIF next to the grid, one extra batched "
+            "forward). score mode sweeps the continuous range [-1,1]; "
+            "onehot mode linearly blends adjacent bins' one-hots. "
+            "Beyond-reference opt-in; 0 = off = grids only",
     "eval_use_ema": "in-training eval (--eval_fid_epoch_freq) scores the "
                     "EMA twin instead of the live params (needs "
                     "--ema_decay > 0) — the EMA G is what ships, so its "

@@ -55,6 +55,21 @@ def all_bins_onehot(n_bins: int, dtype=jnp.float32):
     return jnp.eye(n_bins, dtype=dtype)
 
 
+def interp_bins_onehot(n_bins: int, n_frames: int, dtype=jnp.float32):
+    """(n_frames, n_bins) SOFT one-hot sweep from bin 0 to bin n_bins-1:
+    frame positions tile [0, n_bins-1] evenly and each row linearly blends
+    the two adjacent bins' one-hots (rows sum to 1; positions landing
+    exactly on a bin ARE that bin's one-hot). The condition path for the
+    smooth aging animation (``test.py --anim``) in onehot mode —
+    beyond-reference (the reference renders discrete bins only)."""
+    p = jnp.linspace(0.0, float(n_bins - 1), n_frames)
+    lo = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, n_bins - 1)
+    hi = jnp.clip(lo + 1, 0, n_bins - 1)
+    frac = (p - lo.astype(jnp.float32))[:, None]
+    eye = jnp.eye(n_bins, dtype=jnp.float32)
+    return ((1.0 - frac) * eye[lo] + frac * eye[hi]).astype(dtype)
+
+
 # --------------------------------------------------------------------------- #
 # continuous score conditioning (SURVEY.md SS2 C11: "or continuous comparator
 # score"; the paper's score-map variant — cfg.model.cond_mode == 'score')

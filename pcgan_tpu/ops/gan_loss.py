@@ -52,3 +52,26 @@ def gradient_penalty(d_apply, variables, real: jnp.ndarray, fake: jnp.ndarray,
     gnorm = jnp.sqrt(jnp.sum(grads.astype(jnp.float32) ** 2,
                              axis=(1, 2, 3)) + 1e-16)
     return jnp.mean((gnorm - 1.0) ** 2)
+
+
+def r1_penalty(d_apply, variables, real: jnp.ndarray,
+               cond: jnp.ndarray) -> jnp.ndarray:
+    """R1 gradient penalty (Mescheder et al. 2018, "Which Training Methods
+    for GANs do actually Converge?"): ``E[||grad_x D(x)||^2]`` on REAL
+    images only — the zero-centered regularizer behind StyleGAN-family
+    stability. Beyond-reference opt-in (``--lambda_r1``, SURVEY.md SS2 C9
+    lists only the reference's vanilla/lsgan/wgangp criteria); the caller
+    scales by ``lambda_r1 / 2`` (the conventional gamma/2 weighting).
+
+    ``d_apply(variables, x, cond) -> logits``; logits sum over the batch so
+    one ``jax.grad`` yields per-sample input gradients (D is per-sample, the
+    sum decomposes) — the same double-backward structure as
+    ``gradient_penalty`` above, which compiles cleanly on this toolchain
+    (the custom-VJP wgrad trap in docs/perf_notes.md does not apply to
+    input gradients).
+    """
+    def d_sum(x):
+        return jnp.sum(d_apply(variables, x, cond).astype(jnp.float32))
+
+    grads = jax.grad(d_sum)(real.astype(jnp.float32))
+    return jnp.mean(jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2, 3)))

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcgan_tpu.config import Config
-from pcgan_tpu.data.binning import all_bins_onehot, bin_center_age, score_sweep
+from pcgan_tpu.data.binning import (all_bins_onehot, bin_center_age,
+                                    interp_bins_onehot, score_sweep)
 
 
 def make_sampler(cfg: Config, G):
@@ -38,6 +39,33 @@ def make_sampler(cfg: Config, G):
         c = jnp.tile(conds, (b, 1))
         fakes = G.apply(g_variables, x, c, train=False)
         return fakes.reshape(b, nb, *fakes.shape[1:])
+
+    return sample
+
+
+def make_anim_sampler(cfg: Config, G, n_frames: int):
+    """Like ``make_sampler`` but sweeping ``n_frames`` conditions for the
+    smooth aging ANIMATION (``test.py --anim N``): score mode sweeps the
+    continuous normalized range [-1, 1] (the paper's conditioning variant —
+    every frame is an on-manifold condition); onehot mode linearly
+    interpolates adjacent bins' one-hots (soft labels, beyond the
+    reference's discrete grid; frames landing exactly on a bin match the
+    grid's column bit-for-bit — pinned by test). One jitted batched forward
+    renders all frames for the whole input batch."""
+    nb = cfg.data.n_age_bins
+    score_mode = cfg.model.cond_mode == "score"
+
+    @jax.jit
+    def sample(g_variables, images):
+        b = images.shape[0]
+        if score_mode:
+            conds = score_sweep(n_frames, images.dtype)        # (T, 1)
+        else:
+            conds = interp_bins_onehot(nb, n_frames, images.dtype)  # (T, nb)
+        x = jnp.repeat(images, n_frames, axis=0)               # (B*T, ...)
+        c = jnp.tile(conds, (b, 1))
+        fakes = G.apply(g_variables, x, c, train=False)
+        return fakes.reshape(b, n_frames, *fakes.shape[1:])
 
     return sample
 

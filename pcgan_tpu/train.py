@@ -42,7 +42,7 @@ from flax import struct
 from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
-from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty
+from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
 from pcgan_tpu.utils import image_pool
 
 
@@ -358,6 +358,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                     xx = aug(jax.random.fold_in(r_aug, 0), xx)
                 pred, ds2 = d_apply(d_params, xx, cc)
                 pred_real, pred_fake = pred[:bsz], pred[bsz:]
+                r1_real = xx[:bsz]
             else:
                 # batchnorm: keep the reference's sequential two-pass
                 # semantics (per-pass batch stats; running stats chained)
@@ -369,6 +370,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                 pred_fake, ds2 = d_apply(
                     d_params, fake_dd,
                     cond_fake_d.astype(compute_dtype), d_state=ds1)
+                r1_real = real_d
             l_real = gan_loss(pred_real, True, t.gan_mode)
             l_fake = gan_loss(pred_fake, False, t.gan_mode)
             loss = 0.5 * (l_real + l_fake)
@@ -388,9 +390,20 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                     {"params": d_params}, gp_real, gp_fake, cond_target,
                     r_gp)
                 loss = l_real + l_fake + t.lambda_gp * gp
-            return loss, (l_real, l_fake, ds2)
+            if t.lambda_r1 > 0:
+                # --lambda_r1 (ops/gan_loss.py r1_penalty): zero-centered
+                # penalty on the SAME real view D just scored (augmented
+                # when DiffAugment is on). One extra D fwd+input-bwd on B
+                # images — opt-in; the off path is untouched.
+                r1 = r1_penalty(
+                    lambda v, x, c: d_apply(v["params"], x, c)[0],
+                    {"params": d_params}, r1_real, cond_real)
+                loss = loss + (0.5 * t.lambda_r1) * r1
+            else:
+                r1 = jnp.float32(0.0)
+            return loss, (l_real, l_fake, r1, ds2)
 
-        (d_loss, (l_d_real, l_d_fake, new_d_state)), d_grads = (
+        (d_loss, (l_d_real, l_d_fake, l_d_r1, new_d_state)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_grads = psum_mean(d_grads)
         d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
@@ -459,6 +472,8 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             "loss_G_L1": l_g_l1, "loss_G_cond": l_g_cond,
             "loss_D": d_loss, "loss_D_real": l_d_real, "loss_D_fake": l_d_fake,
         }
+        if t.lambda_r1 > 0:
+            metrics["loss_D_r1"] = l_d_r1
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts; grads are psum'd BEFORE the
             # wrapper sees them, so every device skips (or not) in lockstep

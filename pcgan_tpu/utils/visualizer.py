@@ -28,6 +28,23 @@ def save_image(img, path: str):
     Image.fromarray(arr).save(path)
 
 
+def save_animation(frames, path: str, duration_ms: int = 80):
+    """frames: (T,H,W,C) float in [-1,1] (or u8) -> looping animated image.
+
+    The ``test.py --anim`` output surface. Extension picks the container:
+    ``.gif`` (universal, 256-color quantized) or ``.webp`` (full color,
+    needs a webp-enabled Pillow — every browser since 2020 plays it)."""
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.asarray(frames)
+    ims = [Image.fromarray(f if f.dtype == np.uint8 else tensor_to_u8(f))
+           for f in arr]
+    if len(ims) < 2:
+        raise ValueError(f"animation needs >= 2 frames, got {len(ims)}")
+    ims[0].save(path, save_all=True, append_images=ims[1:],
+                duration=duration_ms, loop=0)
+
+
 class HTMLPage:
     """Minimal HTML index of image rows (reference util/html.py surface)."""
 

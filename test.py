@@ -32,9 +32,11 @@ def main(argv=None):
     from pcgan_tpu.models import define_G
     from pcgan_tpu.models.registry import init_params
     from pcgan_tpu.ops.preprocess import make_preprocess
-    from pcgan_tpu.sample import aging_grid_visuals, make_sampler
+    from pcgan_tpu.sample import (aging_grid_visuals, make_anim_sampler,
+                                  make_sampler)
     from pcgan_tpu.utils import checkpoint as ckpt
-    from pcgan_tpu.utils.visualizer import HTMLPage, save_visuals_row
+    from pcgan_tpu.utils.visualizer import (HTMLPage, save_animation,
+                                            save_visuals_row)
 
     web_dir = os.path.join(cfg.run.results_dir, cfg.run.name,
                            f"{cfg.run.phase}_{cfg.run.epoch}")
@@ -69,6 +71,10 @@ def main(argv=None):
                             resize_to=data_loader.host_resize_size(cfg))
     pre = make_preprocess(cfg, train=False)   # center crop, no flip
     sampler = make_sampler(cfg, G)
+    if cfg.run.anim == 1:
+        raise SystemExit("--anim needs >= 2 frames (or 0 to disable)")
+    anim_sampler = (make_anim_sampler(cfg, G, cfg.run.anim)
+                    if cfg.run.anim > 0 else None)
 
     page = HTMLPage(web_dir, title=f"{cfg.run.name} [{cfg.run.epoch}]")
     done = 0
@@ -78,11 +84,17 @@ def main(argv=None):
         imgs = batch["image"].astype(jnp.float32)
         fakes = sampler(g_vars, imgs)                        # (B, nb, H, W, C)
         fakes = np.asarray(fakes)
+        frames = (np.asarray(anim_sampler(g_vars, imgs))     # (B, T, H, W, C)
+                  if anim_sampler is not None else None)
         for i in range(imgs.shape[0]):
             if done >= cfg.run.num_test:
                 break
             visuals = aging_grid_visuals(cfg, np.asarray(imgs[i]), fakes[i])
             save_visuals_row(page, f"{done:04d}", visuals)
+            if frames is not None:
+                fn = f"{done:04d}_aging.gif"
+                save_animation(frames[i], os.path.join(page.img_dir, fn))
+                page.add_images([fn], [f"{cfg.run.anim}-frame sweep"])
             done += 1
         if done >= cfg.run.num_test:
             break

@@ -89,6 +89,29 @@ def test_accum_matches_full_batch(accum):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_accum_matches_full_batch_with_r1():
+    """--lambda_r1 composes with --grad_accum: per-microbatch R1 penalties
+    average to the full-batch penalty (mean-of-means over equal shards), so
+    the accum step must stay glued to the fused step with the lever on."""
+    cfg = _cfg(grad_accum=2, lambda_r1=5.0)
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(2)
+    batch = _batch()
+    s1, m1 = jax.jit(make_train_step(cfg, G, D))(
+        create_train_state(cfg, G, D, rng, 10), batch)
+    s2, m2 = jax.jit(make_accum_train_step(cfg, G, D))(
+        create_train_state(cfg, G, D, rng, 10), batch)
+    assert float(m1["loss_D_r1"]) > 0
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_opt),
+                    jax.tree_util.tree_leaves(s2.d_opt)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_accum_second_step_and_ema():
     """Two steps with EMA on: trajectories stay glued (compounding check)."""
     cfg = _cfg(grad_accum=2, ema_decay=0.99)

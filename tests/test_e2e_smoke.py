@@ -54,13 +54,25 @@ def test_train_then_sample_then_resume(workdir):
 
     test_cli.main(COMMON + [
         "--checkpoints_dir", ckpt_dir, "--results_dir", results_dir,
-        "--num_test", "2", "--epoch", "latest",
+        "--num_test", "2", "--epoch", "latest", "--anim", "6",
     ])
     web = os.path.join(results_dir, "smoke", "test_latest")
     assert os.path.exists(os.path.join(web, "index.html"))
-    pngs = os.listdir(os.path.join(web, "images"))
+    files = os.listdir(os.path.join(web, "images"))
+    pngs = [f for f in files if f.endswith(".png")]
     # input + 4 bins per grid, 2 grids
     assert len(pngs) == 2 * 5, pngs
+    # --anim 6: one 6-frame looping GIF per grid
+    gifs = sorted(f for f in files if f.endswith(".gif"))
+    assert gifs == ["0000_aging.gif", "0001_aging.gif"], files
+    from PIL import Image
+    with Image.open(os.path.join(web, "images", gifs[0])) as im:
+        # this config's G is the proven-unconditional combo (resnet + IN +
+        # input inject), so all 6 frames are identical and PIL's GIF writer
+        # legitimately merges them into one long-duration frame; distinct-
+        # frame counts are pinned in test_anim.py
+        assert 1 <= im.n_frames <= 6
+        assert im.size == (32, 32)
 
     # resume: continue_train from latest must pick up the step counter.
     # epoch_count stays at its ORIGINAL value (default 1) — the start epoch

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty
+from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
 from pcgan_tpu.models.comparator import (
     comparison_loss, comparison_accuracy, condition_consistency_loss,
     ndtr, pairwise_log_probs)
@@ -43,6 +43,30 @@ def test_gradient_penalty_zero_for_unit_slope():
     fake = -jnp.ones((4, 1, 1, 1))
     gp = gradient_penalty(d_apply, {}, real, fake, None, jax.random.PRNGKey(0))
     assert float(gp) < 1e-8
+
+
+def test_r1_penalty_linear_d():
+    # D(x) = <w, x> per sample => grad_x D = w for every sample, so
+    # E[||grad||^2] = sum(w^2) exactly, independent of the inputs.
+    w = jnp.arange(1.0, 13.0).reshape(1, 2, 2, 3)
+
+    def d_apply(variables, x, cond):
+        return jnp.sum(x * variables["w"], axis=(1, 2, 3))
+
+    real = jax.random.uniform(jax.random.PRNGKey(0), (5, 2, 2, 3)) * 2 - 1
+    r1 = r1_penalty(d_apply, {"w": w}, real, None)
+    np.testing.assert_allclose(float(r1), float(jnp.sum(w ** 2)), rtol=1e-6)
+
+
+def test_r1_penalty_nonnegative_and_input_dependent():
+    # nonlinear D: penalty positive and actually a function of the inputs
+    def d_apply(variables, x, cond):
+        return jnp.sum(jnp.tanh(x * variables["w"]) ** 2, axis=(1, 2, 3))
+
+    w = jnp.full((1, 2, 2, 3), 0.7)
+    a = r1_penalty(d_apply, {"w": w}, jnp.full((3, 2, 2, 3), 0.1), None)
+    b = r1_penalty(d_apply, {"w": w}, jnp.full((3, 2, 2, 3), 0.9), None)
+    assert float(a) > 0 and float(b) > 0 and not np.isclose(float(a), float(b))
 
 
 def test_ndtr():

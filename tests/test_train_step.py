@@ -56,6 +56,29 @@ def test_step_runs_and_params_move(gan_mode):
     assert float(jnp.max(jnp.abs(d0 - d1))) > 0
 
 
+def test_r1_penalty_regularizes_d():
+    # --lambda_r1 (ops/gan_loss.py r1_penalty): the metric streams, is
+    # positive for a fresh D on real data, and the D update actually
+    # changes vs the unregularized step on the same batch/seed.
+    batch = make_batch(0, tiny_cfg())
+    results = {}
+    for gamma in (0.0, 10.0):
+        cfg = tiny_cfg(lambda_r1=gamma)
+        G, D = define_G(cfg), define_D(cfg)
+        state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+        step = jax.jit(make_train_step(cfg, G, D))
+        new_state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        results[gamma] = (new_state, metrics)
+    assert "loss_D_r1" not in results[0.0][1]          # off = parity surface
+    assert float(results[10.0][1]["loss_D_r1"]) > 0
+    d_off = jax.tree_util.tree_leaves(results[0.0][0].d_params)
+    d_on = jax.tree_util.tree_leaves(results[10.0][0].d_params)
+    assert any(float(jnp.max(jnp.abs(a - b))) > 1e-7
+               for a, b in zip(d_off, d_on))
+
+
 def test_step_deterministic():
     cfg = tiny_cfg()
     G, D = define_G(cfg), define_D(cfg)
