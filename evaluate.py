@@ -28,6 +28,8 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
+    from pcgan_tpu.platform import enable_compile_cache
+    enable_compile_cache(cfg.run.compile_cache)
     if cfg.data.device_cache or cfg.data.device_cache_sharded:
         print("note: --device_cache is a training-loop lever; evaluate.py "
               "streams from the host (flag ignored)", flush=True)

@@ -50,6 +50,26 @@ def respect_env_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def enable_compile_cache(path: str) -> None:
+    """Persistent XLA compilation cache (``--compile_cache DIR``): compiled
+    executables are keyed by (HLO, compile options, toolchain) and reused
+    across PROCESSES, so the second run of the same config skips XLA
+    entirely. Measured on the real chip (docs/perf_notes.md): the 128px
+    batch-64 fused train step's first-step latency drops 35.2 s -> 17.4 s
+    (-51%; the residual is tracing + device init, not XLA). Numerics are
+    byte-identical — the cache stores the same executable XLA would
+    rebuild. No-op for empty ``path``. JAX's own ``JAX_COMPILATION_CACHE_DIR``
+    env var works too; the flag exists for discoverability."""
+    if not path:
+        return
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(os.path.expanduser(path)))
+    # default gate is 1s of compile time — keep it, but drop the size gate
+    # so small-model smoke configs cache too
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def ensure_cpu_devices(n: int) -> None:
     """Best-effort guarantee of >= n virtual CPU devices (driver dryrun
     contract). Must run before any JAX operation to take effect."""

@@ -17,6 +17,8 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=False)
+    from pcgan_tpu.platform import enable_compile_cache
+    enable_compile_cache(cfg.run.compile_cache)
     if cfg.data.device_cache or cfg.data.device_cache_sharded:
         # no silently-dead flags (project convention): the cache is a
         # training-loop lever; a single pass over the test set would pay

@@ -25,6 +25,8 @@ def main(argv=None):
     respect_env_platform()
     from pcgan_tpu.config import parse_config
     cfg = parse_config(argv, is_train=True)
+    from pcgan_tpu.platform import enable_compile_cache
+    enable_compile_cache(cfg.run.compile_cache)
     if cfg.model.quant_int8:
         # inference-only lever: round() has zero gradient, so a quantized
         # trunk would silently train NOTHING — reject loudly
