@@ -265,6 +265,11 @@ class RunConfig:
     # config skips XLA compilation (measured: 128px train first-step
     # latency 35.2 -> 17.4 s). Numerics identical; purely a startup lever.
     compile_cache: str = ""
+    # XLA compiler options for the train-step jit ("k=v[,k=v]"). "" = the
+    # measured TPU-bf16 default (scoped-VMEM 32 MiB: +1.9% @128px, +6.5%
+    # @256px — perf_notes r3); "off" = stock XLA; f32/CPU runs always use
+    # stock XLA (the .pth-parity lowering is never touched).
+    xla_opt: str = ""
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
     # numerics sanitizer (SURVEY.md SS6): jax_debug_nans raises at the
@@ -405,6 +410,7 @@ _FLAG_MAP = {
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
     "compile_cache": ("run", "compile_cache"),
+    "xla_opt": ("run", "xla_opt"),
     "debug_nans": ("run", "debug_nans"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
@@ -520,6 +526,13 @@ _FLAG_HELP = {
                      "second run of the same config skips XLA compilation "
                      "(measured -51%% first-step latency at 128px). "
                      "Numerics identical; '' = off",
+    "xla_opt": "XLA compiler options for the train-step jit, "
+               "'key=value[,key=value]'. Default '' applies the MEASURED "
+               "TPU-bf16 default (xla_tpu_scoped_vmem_limit_kib=32768: "
+               "+1.9%% @128px, +6.5%% @256px train throughput — "
+               "perf_notes r3); 'off' = stock XLA. f32/CPU runs always "
+               "use stock XLA (the .pth-parity lowering is untouched, "
+               "same convention as lowch_matmul)",
     "init_g_from": "warm-start G from a G-only checkpoint "
                    "('<run_name>/<tag>'), e.g. an imported reference .pth",
     "device_cache": "upload the whole dataset to HBM once and gather "

@@ -112,7 +112,9 @@ def make_auto_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         return new_state, metrics
 
     # donate the state: params/opt buffers are overwritten every step
-    return jax.jit(step, donate_argnums=(0,))
+    from pcgan_tpu.platform import compiler_options_for
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=compiler_options_for(cfg))
 
 
 def place_auto_state(state: TrainState, mesh: Mesh) -> TrainState:

@@ -127,7 +127,9 @@ def make_parallel_train_step(cfg: Config, G, D, C=None,
                            check_vma=False)
             # donate the state: params/opt/pool buffers are overwritten every
             # step — halves peak HBM for the state and skips copies
-            compiled[key] = jax.jit(fn, donate_argnums=(0,))
+            from pcgan_tpu.platform import compiler_options_for
+            compiled[key] = jax.jit(fn, donate_argnums=(0,),
+                                    compiler_options=compiler_options_for(cfg))
         return compiled[key](state, raw_batch)
 
     return step
@@ -165,7 +167,9 @@ def make_parallel_comparator_step(cfg: Config, C, steps_per_epoch: int = 1,
                            in_specs=(state_specs, batch_specs),
                            out_specs=(state_specs, P()),
                            check_vma=False)
-            compiled[key] = jax.jit(fn, donate_argnums=(0,))
+            from pcgan_tpu.platform import compiler_options_for
+            compiled[key] = jax.jit(fn, donate_argnums=(0,),
+                                    compiler_options=compiler_options_for(cfg))
         return compiled[key](state, raw_batch)
 
     return step

@@ -70,6 +70,53 @@ def enable_compile_cache(path: str) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+# measured default for the bf16 TPU perf path (docs/perf_notes.md round-3
+# cont. 6 sweep): doubling XLA's scoped-VMEM fusion budget from the 16 MiB
+# default buys +1.9% @128px and +6.5% @256px on the fused train step
+DEFAULT_TPU_BF16_XLA_OPT = "xla_tpu_scoped_vmem_limit_kib=32768"
+
+
+def parse_compiler_options(spec: str):
+    """'k=v[,k=v...]' -> dict for ``jax.jit(compiler_options=...)``;
+    '' -> None. Values stay strings (XLA parses its own types)."""
+    opts = {}
+    for kv in (spec or "").split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"--xla_opt entry {kv!r} must be key=value "
+                f"(e.g. xla_tpu_scoped_vmem_limit_kib=32768)")
+        k, v = kv.split("=", 1)
+        opts[k.strip()] = v.strip()
+    return opts or None
+
+
+def compiler_options_for(cfg):
+    """Resolve ``cfg.run.xla_opt`` into a jit ``compiler_options`` dict.
+
+    Policy (mirrors the ``lowch_matmul`` convention — bf16 perf path may
+    diverge from naive lowering, f32 parity path never does): an EMPTY flag
+    on a TPU backend with bf16 compute applies the measured default above;
+    ``--xla_opt off`` disables; any explicit ``key=value[,...]`` overrides.
+    CPU/f32 runs always resolve to None — the .pth-parity lowering is
+    untouched. TPU-prefixed options never reach a CPU compile (they would
+    be rejected as unknown).
+    """
+    spec = cfg.run.xla_opt
+    if spec.strip().lower() == "off":
+        return None
+    if not spec.strip():
+        if cfg.model.dtype != "bfloat16":
+            return None
+        import jax
+        if jax.default_backend() != "tpu":
+            return None
+        spec = DEFAULT_TPU_BF16_XLA_OPT
+    return parse_compiler_options(spec)
+
+
 def ensure_cpu_devices(n: int) -> None:
     """Best-effort guarantee of >= n virtual CPU devices (driver dryrun
     contract). Must run before any JAX operation to take effect."""

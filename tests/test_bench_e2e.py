@@ -65,6 +65,28 @@ def test_measure_e2e_device_cache(tmp_path):
 
 
 @pytest.mark.slow
+def test_memory_plan_smoke():
+    """tools/memory_plan.py --smoke --sweep: AOT-compiles every lever
+    variant from abstract inputs and reports XLA's buffer numbers; the
+    grad-accum variants must show SMALLER per-step temp than the base."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "memory_plan.py"),
+         "--smoke", "--sweep"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rows = {(r["remat"], r["grad_accum"]): r for r in rec["rows"]}
+    base = rows[(False, 1)]
+    assert base["temp_gib"] > 0
+    assert rows[(False, 4)]["temp_gib"] < base["temp_gib"]
+
+
+@pytest.mark.slow
 def test_tune_batch_smoke():
     """tools/tune_batch.py --smoke: sweeps candidates, survives a
     does-not-fit row, prints the best-config JSON line."""
