@@ -39,7 +39,7 @@ from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
 from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
-from pcgan_tpu.train import TrainState, make_optimizer
+from pcgan_tpu.train import TrainState, make_gan_optimizers
 from pcgan_tpu.utils import image_pool
 
 
@@ -54,7 +54,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
     if accum < 2:
         raise ValueError("make_accum_train_step needs grad_accum >= 2; use "
                          "train.make_train_step otherwise")
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx, tx_d = make_gan_optimizers(cfg, steps_per_epoch)
     t = cfg.train
     nb = cfg.data.n_age_bins
     use_cond_loss = (t.lambda_cond > 0.0) and (C is not None)
@@ -244,7 +244,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                           (jnp.float32(0),) * 4),
                          (idx, mbs)))
         d_grads = psum_mean(jax.tree.map(lambda g: g / accum, d_gsum))
-        d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
+        d_upd, new_d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
         d_upd = jax.tree.map(lambda u: u * state.lr_scale, d_upd)
         new_d_params = optax.apply_updates(state.d_params, d_upd)
 

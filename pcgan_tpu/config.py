@@ -126,6 +126,10 @@ class TrainConfig:
     """Optimization + schedule config (reference train options, SURVEY.md SS2 C3/C14)."""
 
     lr: float = 2e-4
+    # separate D learning rate (TTUR, Heusel 2017 — the two-time-scale
+    # stabilizer; typically lr_d > lr). 0 = D shares --lr = reference
+    # parity. Same decay shape and state tree; checkpoints cross-load.
+    lr_d: float = 0.0
     beta1: float = 0.5
     beta2: float = 0.999
     gan_mode: str = "lsgan"          # vanilla | lsgan | wgangp | hinge
@@ -364,6 +368,7 @@ _FLAG_MAP = {
     "verbose": ("run", "verbose"),
     # train options
     "lr": ("train", "lr"),
+    "lr_d": ("train", "lr_d"),
     "beta1": ("train", "beta1"),
     "gan_mode": ("train", "gan_mode"),
     "lambda_L1": ("train", "lambda_L1"),
@@ -441,6 +446,10 @@ _FLAG_HELP = {
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "
                    "Default off: resize runs on device (TPU-native)",
+    "lr_d": "separate discriminator learning rate (TTUR, Heusel 2017): the "
+            "two-time-scale stabilizer, typically lr_d > lr. Shares the "
+            "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
+            "uses --lr = parity",
     "lambda_r1": "gamma for the R1 zero-centered gradient penalty on real "
                  "images (Mescheder 2018): adds gamma/2 * E[||grad_x "
                  "D(x)||^2] to the D loss — the StyleGAN-family stability "

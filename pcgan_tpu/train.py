@@ -51,14 +51,18 @@ from pcgan_tpu.utils import image_pool
 # --------------------------------------------------------------------------- #
 
 
-def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
+def make_lr_schedule(cfg: Config, steps_per_epoch: int,
+                     base_lr: Optional[float] = None) -> Callable:
     """Per-step schedule reproducing the reference's per-epoch policies.
 
     linear: flat for `niter` epochs then linear decay to 0 over `niter_decay`
     (reference lambda_rule: 1 - max(0, epoch+epoch_count-niter)/(niter_decay+1)).
+    ``base_lr`` overrides the peak rate (the TTUR D optimizer, --lr_d);
+    the decay SHAPE is shared either way.
     """
     t = cfg.train
     spe = max(1, steps_per_epoch)
+    peak = t.lr if base_lr is None else base_lr
 
     def sched(step):
         epoch = step // spe + t.epoch_count  # 1-based like the reference
@@ -75,7 +79,7 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
             f = 1.0
         else:
             raise NotImplementedError(f"lr_policy [{t.lr_policy}]")
-        return t.lr * jnp.clip(f, 0.0, 1.0)
+        return peak * jnp.clip(f, 0.0, 1.0)
 
     return sched
 
@@ -112,8 +116,10 @@ class PlateauScheduler:
         return self.scale
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    tx = optax.adam(make_lr_schedule(cfg, steps_per_epoch),
+def make_optimizer(cfg: Config, steps_per_epoch: int,
+                   base_lr: Optional[float] = None
+                   ) -> optax.GradientTransformation:
+    tx = optax.adam(make_lr_schedule(cfg, steps_per_epoch, base_lr),
                     b1=cfg.train.beta1, b2=cfg.train.beta2)
     if cfg.train.skip_nonfinite > 0:
         # bf16 GAN robustness lever (--skip_nonfinite, SURVEY.md SS6 failure
@@ -124,6 +130,16 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         # pretraining all inherit it.
         tx = optax.apply_if_finite(tx, cfg.train.skip_nonfinite)
     return tx
+
+
+def make_gan_optimizers(cfg: Config, steps_per_epoch: int):
+    """(tx_G, tx_D): D runs at ``--lr_d`` when set (TTUR, Heusel 2017 —
+    beyond-reference opt-in; 0 = D shares --lr = parity). Same decay shape,
+    same state TREE either way, so checkpoints stay cross-loadable."""
+    tx_g = make_optimizer(cfg, steps_per_epoch)
+    if cfg.train.lr_d > 0:
+        return tx_g, make_optimizer(cfg, steps_per_epoch, cfg.train.lr_d)
+    return tx_g, tx_g
 
 
 # --------------------------------------------------------------------------- #
@@ -181,7 +197,7 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
         G.init({"params": rg, "dropout": rg}, x, cond, train=True))
     d_params, d_state = _split_vars(
         D.init({"params": rd}, x, cond, train=True))
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx, tx_d = make_gan_optimizers(cfg, steps_per_epoch)
     score_min, score_max = jnp.float32(-1.0), jnp.float32(1.0)
     if bin_anchors is None:
         # without comparator anchors the cond loss sees degenerate [0,0] bins;
@@ -198,7 +214,7 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
         step=jnp.array(0, jnp.int32),
         g_params=g_params, g_state=g_state,
         d_params=d_params, d_state=d_state,
-        g_opt=tx.init(g_params), d_opt=tx.init(d_params),
+        g_opt=tx.init(g_params), d_opt=tx_d.init(d_params),
         c_vars=c_vars, bin_lo=bin_lo, bin_hi=bin_hi,
         score_min=score_min, score_max=score_max,
         lr_scale=jnp.float32(1.0),
@@ -223,7 +239,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                     axis_name: Optional[str] = None) -> Callable:
     """Build the fused G/D step. `axis_name` != None adds an in-step gradient
     psum for use under shard_map/pmap (SURVEY.md SS3.2)."""
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx, tx_d = make_gan_optimizers(cfg, steps_per_epoch)
     t = cfg.train
     nb = cfg.data.n_age_bins
     use_cond_loss = (t.lambda_cond > 0.0) and (C is not None)
@@ -406,7 +422,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         (d_loss, (l_d_real, l_d_fake, l_d_r1, new_d_state)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_grads = psum_mean(d_grads)
-        d_upd, new_d_opt = tx.update(d_grads, state.d_opt, state.d_params)
+        d_upd, new_d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
         # lr_scale: host-driven plateau factor; scaling Adam's update is
         # exactly scaling its lr (update = -lr * mhat/(sqrt(vhat)+eps))
         d_upd = jax.tree.map(lambda u: u * state.lr_scale, d_upd)

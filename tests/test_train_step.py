@@ -56,6 +56,32 @@ def test_step_runs_and_params_move(gan_mode):
     assert float(jnp.max(jnp.abs(d0 - d1))) > 0
 
 
+def test_ttur_lr_d_scales_d_updates():
+    # --lr_d (TTUR): Adam's first update is ~lr*sign(g), so the max D param
+    # delta after one step must scale linearly with lr_d while G's own
+    # first update (pre-D-influence: same grads, same lr) is unchanged.
+    batch = make_batch(0, tiny_cfg())
+    d_delta = {}
+    for lr_d in (2e-5, 2e-4):
+        cfg = tiny_cfg(lr_d=lr_d, pool_size=0)
+        G, D = define_G(cfg), define_D(cfg)
+        state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+        new_state, _ = jax.jit(make_train_step(cfg, G, D))(state, batch)
+        d_delta[lr_d] = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(state.d_params),
+                            jax.tree_util.tree_leaves(new_state.d_params)))
+    ratio = d_delta[2e-4] / d_delta[2e-5]
+    assert 9.0 < ratio < 11.0, d_delta
+
+
+def test_ttur_off_shares_one_optimizer():
+    from pcgan_tpu.train import make_gan_optimizers
+    cfg = tiny_cfg()                       # lr_d = 0 = parity
+    tx_g, tx_d = make_gan_optimizers(cfg, 10)
+    assert tx_g is tx_d                    # literally the same transformation
+
+
 def test_r1_penalty_regularizes_d():
     # --lambda_r1 (ops/gan_loss.py r1_penalty): the metric streams, is
     # positive for a fresh D on real data, and the D update actually
