@@ -241,6 +241,12 @@ class RunConfig:
     # 'pth:<file>' (imported torchvision/pytorch-fid InceptionV3 —
     # externally comparable numbers)
     fid_features: str = "random"
+    # precomputed real-side FID statistics file (.npz from
+    # tools/compute_fid_stats.py — the pytorch-fid workflow): "fid" is
+    # then measured against this FROZEN reference (comparable across
+    # eval runs/budgets); the same-pass streamed number stays available
+    # as "fid_stream". "" = off = stream reals (reference behavior).
+    fid_stats: str = ""
     # KID (ops/kid.py): unbiased small-sample companion metric to FID,
     # computed from the SAME eval pass/features wherever FID runs
     # (evaluate.py and in-training --eval_fid_epoch_freq). Off by default
@@ -406,6 +412,7 @@ _FLAG_MAP = {
     "num_test": ("run", "num_test"),
     "anim": ("run", "anim"),
     "fid_features": ("run", "fid_features"),
+    "fid_stats": ("run", "fid_stats"),
     "kid": ("run", "kid"),
     "kid_subsets": ("run", "kid_subsets"),
     "kid_subset_size": ("run", "kid_subset_size"),
@@ -465,6 +472,12 @@ _FLAG_HELP = {
                       "beyond the reference (0 = off = parity). Changes "
                       "the optimizer-state tree: must match the saved run "
                       "when resuming",
+    "fid_stats": "precomputed real-side FID statistics .npz "
+                 "(tools/compute_fid_stats.py): 'fid' is measured against "
+                 "this FROZEN full-dataset reference — comparable across "
+                 "eval runs and budgets; the same-pass streamed number "
+                 "still reports as 'fid_stream'. KID/PRDC/per-bin keep "
+                 "using the streamed reals. '' = off = stream reals",
     "kid": "also compute KID (Kernel Inception Distance) from the same "
            "eval pass/features as FID — the UNBIASED small-sample metric "
            "(trustworthy at few-hundred-image budgets where FID's bias "

@@ -58,6 +58,33 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     # all three need raw feature rows kept on device
     retain = kid_on or per_bin or prdc_on
     feature_fn, d = make_feature_extractor(cfg, comparator)
+    frozen_real = None
+    if cfg.run.fid_stats:
+        # --fid_stats: 'fid' is measured against a FROZEN precomputed
+        # real-side reference (tools/compute_fid_stats.py) instead of the
+        # budget-limited stream; the streamed number stays as 'fid_stream'.
+        # KID/PRDC/per-bin keep streamed reals (they need feature ROWS,
+        # which a moments file does not carry).
+        frozen_real, meta = fid_ops.load_stats(cfg.run.fid_stats)
+        if int(frozen_real.s.shape[0]) != d:
+            raise ValueError(
+                f"--fid_stats {cfg.run.fid_stats}: feature dim "
+                f"{int(frozen_real.s.shape[0])} != this run's {d} "
+                f"(stats were computed with --fid_features "
+                f"{meta.get('fid_features', '?')}, this run uses "
+                f"{cfg.run.fid_features})")
+        if (meta.get("fid_features") is not None
+                and str(meta["fid_features"]) != cfg.run.fid_features):
+            raise ValueError(
+                f"--fid_stats was computed with --fid_features "
+                f"{meta['fid_features']!r}; this run uses "
+                f"{cfg.run.fid_features!r} — numbers would be meaningless")
+        if (meta.get("crop_size") is not None
+                and int(meta["crop_size"]) != cfg.data.crop_size):
+            raise ValueError(
+                f"--fid_stats was computed at crop_size "
+                f"{int(meta['crop_size'])}; this run uses "
+                f"{cfg.data.crop_size}")
     pre = make_preprocess(cfg, train=False)
     if mesh is not None and mesh.shape.get("data", 1) <= 1:
         mesh = None
@@ -217,8 +244,15 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
-        out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),
-               "fid_images": seen}
+        if frozen_real is not None:
+            out = {"fid": float(fid_ops.fid_from_stats(frozen_real, f_stats)),
+                   "fid_stream": float(fid_ops.fid_from_stats(r_stats,
+                                                              f_stats)),
+                   "fid_stats_images": int(frozen_real.count),
+                   "fid_images": seen}
+        else:
+            out = {"fid": float(fid_ops.fid_from_stats(r_stats, f_stats)),
+                   "fid_images": seen}
         if ssim_on and seen:
             out["ssim"] = float(ssim_sum) / seen
         if bufs is not None:

@@ -105,6 +105,32 @@ def finalize(stats: FIDStats) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mu, cov
 
 
+def save_stats(path: str, stats: FIDStats, meta: dict) -> None:
+    """Persist streaming stats as a portable .npz (the pytorch-fid
+    'precomputed statistics file' workflow — SURVEY.md SS6 metrics row;
+    tools/compute_fid_stats.py writes these, ``--fid_stats`` consumes
+    them). Raw sums are stored (not mu/cov), so files merge exactly and
+    finalize() stays the single source of the mu/cov math."""
+    import numpy as np
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, count=np.asarray(stats.count), s=np.asarray(stats.s),
+             ss=np.asarray(stats.ss),
+             **{f"meta_{k}": np.asarray(v) for k, v in meta.items()})
+
+
+def load_stats(path: str):
+    """(FIDStats, meta dict) from a save_stats file."""
+    import numpy as np
+    with np.load(path) as z:
+        stats = FIDStats(count=jnp.asarray(z["count"], jnp.float32),
+                         s=jnp.asarray(z["s"], jnp.float32),
+                         ss=jnp.asarray(z["ss"], jnp.float32))
+        meta = {k[len("meta_"):]: z[k].item() if z[k].ndim == 0 else z[k]
+                for k in z.files if k.startswith("meta_")}
+    return stats, meta
+
+
 def _sqrtm_psd(c: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     w, v = jnp.linalg.eigh(c)
     w = jnp.sqrt(jnp.maximum(w, eps))
