@@ -64,6 +64,28 @@ def test_measure_e2e_device_cache(tmp_path):
     assert np.isfinite(rate) and rate > 0
 
 
+def test_doctor_smoke():
+    """tools/doctor.py: diagnoses the environment and prints one JSON line
+    with the device check green and the mesh these flags would build."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "doctor.py"),
+         "--mesh_shape", "4,2", "--mesh_axes", "data,model"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])["doctor"]
+    assert rec["device_check"] == "ok"
+    assert rec["backend"] == "cpu" and len(rec["devices"]) == 8
+    assert rec["mesh"] == {"data": 4, "model": 2}
+    assert rec["xla_opt_resolved"] is None   # bf16 default never on CPU
+
+
 @pytest.mark.slow
 def test_memory_plan_smoke():
     """tools/memory_plan.py --smoke --sweep: AOT-compiles every lever
