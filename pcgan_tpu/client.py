@@ -1,0 +1,99 @@
+"""Python client for the serving host (tools/serve_http.py).
+
+Stdlib + numpy only (mirrors the host's own dependency footprint — an
+integrator's process needs neither JAX nor model code):
+
+    from pcgan_tpu.client import ServingClient
+    c = ServingClient("http://127.0.0.1:8500")
+    c.healthz()                          # artifact metadata
+    fakes = c.generate(images, cond)     # (B,H,W,C) f32 in [-1,1]
+    grid = c.progression(images)         # (B, n_conditions, H, W, C)
+    c.reload("serving/utk128_v2")        # zero-downtime artifact swap
+
+Wire format is the host's: request bodies are ``np.savez`` archives,
+responses are single ``.npy`` payloads (``allow_pickle=False`` both ways —
+no code-execution path). Non-2xx responses raise :class:`ServingError`
+with the host's error text.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+from typing import Optional
+
+import numpy as np
+
+
+class ServingError(RuntimeError):
+    """Non-2xx response from the serving host (carries status + body)."""
+
+    def __init__(self, status: int, body: str):
+        super().__init__(f"HTTP {status}: {body}")
+        self.status = status
+        self.body = body
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v, np.float32)
+                     for k, v in arrays.items()})
+    return buf.getvalue()
+
+
+class ServingClient:
+    def __init__(self, base_url: str = "http://127.0.0.1:8500",
+                 timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    # ---- plumbing -------------------------------------------------------- #
+
+    def _request(self, path: str, body: Optional[bytes] = None,
+                 content_type: str = "application/octet-stream") -> bytes:
+        req = urllib.request.Request(
+            self.base_url + path, data=body,
+            headers={"Content-Type": content_type} if body else {})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            raise ServingError(e.code,
+                               e.read().decode("utf-8", "replace")) from None
+
+    def _npy(self, raw: bytes) -> np.ndarray:
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+
+    # ---- endpoints ------------------------------------------------------- #
+
+    def healthz(self) -> dict:
+        return json.loads(self._request("/healthz"))
+
+    def stats(self) -> dict:
+        return json.loads(self._request("/stats"))
+
+    def metrics(self) -> str:
+        """Prometheus text exposition (scrape surface)."""
+        return self._request("/metrics").decode()
+
+    def generate(self, images: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        """images (B,H,W,C) f32 in [-1,1]; cond (B,K) one-hot or (B,1)
+        score — must match the artifact's conditioning (see healthz)."""
+        return self._npy(self._request(
+            "/generate", _npz_bytes(images=images, cond=cond)))
+
+    def progression(self, images: np.ndarray) -> np.ndarray:
+        """Full aging grid: (B, n_conditions, H, W, C)."""
+        return self._npy(self._request(
+            "/progression", _npz_bytes(images=images)))
+
+    def reload(self, artifact_dir: Optional[str] = None) -> dict:
+        """Hot-swap the served artifact (empty = re-read the current dir);
+        returns the host's JSON ({"status": "reloaded", ...}). The host
+        warms the incoming module before publishing; traffic keeps serving
+        the old one during the load."""
+        body = json.dumps(
+            {"artifact_dir": artifact_dir} if artifact_dir else {}).encode()
+        return json.loads(self._request("/reload", body, "application/json"))

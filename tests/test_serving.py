@@ -285,6 +285,48 @@ def test_http_server_roundtrip(tmp_path):
         httpd.server_close()
 
 
+def test_python_client_roundtrip(tmp_path):
+    """pcgan_tpu/client.py against a live serve_http host: healthz,
+    generate (matches the served module bit-for-bit), progression shape,
+    error mapping to ServingError."""
+    import threading
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from pcgan_tpu.client import ServingClient, ServingError
+    from pcgan_tpu.serving import export_generator, load_exported
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        c = ServingClient(f"http://127.0.0.1:{port}", timeout=120)
+        health = c.healthz()
+        assert health["status"] == "ok"
+        assert health["meta"]["crop_size"] == cfg.data.crop_size
+
+        imgs, cond = _rand_inputs(cfg, 3, seed=5)
+        out = c.generate(imgs, cond)
+        want = np.asarray(load_exported(str(tmp_path))(imgs, cond))
+        np.testing.assert_array_equal(out, want)
+
+        grid = c.progression(imgs)
+        assert grid.shape == (3, cfg.data.n_age_bins, 32, 32, 3)
+
+        with pytest.raises(ServingError) as ei:
+            c.generate(imgs[:, :16], cond)       # wrong spatial size
+        assert ei.value.status == 400
+
+        assert "pcgan" in c.metrics()
+        assert c.reload()["status"] == "reloaded"   # re-read the same dir
+        np.testing.assert_array_equal(c.generate(imgs, cond), want)
+    finally:
+        httpd.shutdown()
+
+
 def test_data_parallel_serving(tmp_path):
     """Multi-chip serving: shard_map of the exported module over the 8-dev
     mesh equals the single-device call; ragged batches pad + slice; fixed-
