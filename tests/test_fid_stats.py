@@ -76,6 +76,38 @@ def test_frozen_equals_streamed_on_same_data(tmp_path, capsys):
     assert np.isfinite(res["fid"]) and res["fid"] > 0
 
 
+def test_frozen_stats_under_sharded_eval(tmp_path):
+    """--fid_stats composes with distributed eval: the frozen stats live on
+    one device while the streamed fake stats are mesh-replicated — the FID
+    must still compute and equal the single-device frozen number."""
+    from pcgan_tpu.eval_lib import make_fid_evaluator
+    from pcgan_tpu.models.registry import define_G, init_params
+    from pcgan_tpu.parallel import make_mesh
+
+    out = _compute_stats(tmp_path)
+    cfg = _cfg(["--fid_stats", out, "--netG", "resnet_6blocks",
+                "--ngf", "8", "--ndf", "8"])
+    G = define_G(cfg)
+    g_vars = init_params(G, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, cfg.data.n_age_bins)), train=False)
+
+    def batches():
+        ds = data_loader.create_dataset(cfg, train=False)
+        ld = data_loader.Loader(ds, cfg.data.batch_size, shuffle=False,
+                                drop_last=False)
+        return with_bins(iter(ld), cfg.data.n_age_bins, cfg.data.max_age)
+
+    single = make_fid_evaluator(cfg, G)(g_vars, batches(),
+                                        max_images=32, seed=0)
+    mesh = make_mesh((-1,), ("data",))
+    sharded = make_fid_evaluator(cfg, G, mesh=mesh)(g_vars, batches(),
+                                                    max_images=32, seed=0)
+    assert np.isclose(single["fid"], sharded["fid"], rtol=1e-4), (single,
+                                                                  sharded)
+    assert sharded["fid_stats_images"] == 32
+
+
 def test_mismatched_feature_space_rejected(tmp_path):
     from pcgan_tpu.eval_lib import make_fid_evaluator
     from pcgan_tpu.models.registry import define_G
