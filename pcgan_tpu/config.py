@@ -95,6 +95,12 @@ class ModelConfig:
     ndf: int = 64
     n_layers_D: int = 3
     norm: str = "instance"           # instance | batch | group | none
+    # spectral normalization of every D conv (SN-GAN, Miyato 2018): kernel
+    # divided by its largest singular value (one power-iteration step per
+    # training forward). Lipschitz stabilizer beyond the reference; off =
+    # parity. u/sigma live in d_state (batch_stats) — the D PARAM tree is
+    # unchanged, so SN/non-SN checkpoints cross-load at the params level.
+    spectral_norm: bool = False
     init_type: str = "normal"        # normal | xavier | kaiming | orthogonal
     init_gain: float = 0.02
     no_dropout: bool = True
@@ -356,6 +362,7 @@ _FLAG_MAP = {
     "ndf": ("model", "ndf"),
     "n_layers_D": ("model", "n_layers_D"),
     "norm": ("model", "norm"),
+    "spectral_norm": ("model", "spectral_norm"),
     "init_type": ("model", "init_type"),
     "init_gain": ("model", "init_gain"),
     "no_dropout": ("model", "no_dropout"),
@@ -457,6 +464,15 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "spectral_norm": "spectral normalization of every discriminator conv "
+                     "(SN-GAN, Miyato 2018): kernels divided by their "
+                     "largest singular value, one power-iteration step per "
+                     "training forward — the Lipschitz-constraint GAN "
+                     "stabilizer next to --lambda_r1/--lr_d/--diff_augment. "
+                     "Beyond-reference opt-in; off = parity. The D param "
+                     "tree is unchanged (u/sigma live in d_state), so "
+                     "SN and non-SN checkpoints cross-load at the params "
+                     "level (d_state structure must match on resume)",
     "lambda_r1": "gamma for the R1 zero-centered gradient penalty on real "
                  "images (Mescheder 2018): adds gamma/2 * E[||grad_x "
                  "D(x)||^2] to the D loss — the StyleGAN-family stability "

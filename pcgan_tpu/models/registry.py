@@ -88,6 +88,7 @@ def define_G(cfg: Config) -> nn.Module:
 def define_D(cfg: Config) -> nn.Module:
     name = cfg.model.netD
     kw = _common(cfg)
+    kw["spectral_norm"] = cfg.model.spectral_norm
     if name == "basic":
         return NLayerDiscriminator(ndf=cfg.model.ndf, n_layers=3, **kw)
     if name == "n_layers":
