@@ -89,6 +89,23 @@ class ServingClient:
         return self._npy(self._request(
             "/progression", _npz_bytes(images=images)))
 
+    def generate_image(self, image_bytes: bytes, bin: Optional[int] = None,
+                       score: Optional[float] = None) -> bytes:
+        """Raw JPEG/PNG bytes in, PNG bytes of the aged face out (the host
+        does the test-time transform). Pass ``bin`` for onehot artifacts or
+        ``score`` in [-1, 1] for score-mode artifacts."""
+        if (bin is None) == (score is None):
+            raise ValueError("pass exactly one of bin= or score=")
+        q = f"?bin={int(bin)}" if bin is not None else f"?score={score}"
+        return self._request("/generate_image" + q, image_bytes,
+                             "application/octet-stream")
+
+    def progression_image(self, image_bytes: bytes) -> bytes:
+        """Raw JPEG/PNG bytes in, PNG strip [input | aged@every condition]
+        out."""
+        return self._request("/progression_image", image_bytes,
+                             "application/octet-stream")
+
     def reload(self, artifact_dir: Optional[str] = None) -> dict:
         """Hot-swap the served artifact (empty = re-read the current dir);
         returns the host's JSON ({"status": "reloaded", ...}). The host

@@ -224,6 +224,13 @@ class ParallelConfig:
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 == all local devices on the axis
     mesh_axes: Tuple[str, ...] = ("data",)
     spatial_shards: int = 1               # >1: shard H dim of activations (256px HBM relief)
+    # ZeRO stage 1 (Rajbhandari 2020): shard BOTH Adam trees (2x params in
+    # f32 — the largest resident-state term) over the data axis; params/EMA
+    # stay replicated. GSPMD derives the reduce-scatter(grads) ->
+    # shard-update -> all-gather(delta) schedule from the shardings. Routes
+    # training through the GSPMD step (parallel/auto.py). Beyond-reference
+    # opt-in; needs a data axis > 1.
+    zero1: bool = False
 
 
 @dataclass(frozen=True)
@@ -433,6 +440,7 @@ _FLAG_MAP = {
     "debug_nans": ("run", "debug_nans"),
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
+    "zero1": ("parallel", "zero1"),
 }
 
 _SECTION_TYPES = {
@@ -464,6 +472,13 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "zero1": "ZeRO stage 1: shard BOTH Adam moment trees (2x params in f32 "
+             "— the largest resident-state term) over the mesh data axis; "
+             "params and the EMA twin stay replicated so forward/backward "
+             "never gather weights. XLA derives the reduce-scatter(grads) "
+             "-> shard-update -> all-gather(delta) schedule from the "
+             "shardings (GSPMD step). Composes with --mesh_axes "
+             "data,model. Beyond-reference opt-in; needs a data axis > 1",
     "spectral_norm": "spectral normalization of every discriminator conv "
                      "(SN-GAN, Miyato 2018): kernels divided by their "
                      "largest singular value, one power-iteration step per "

@@ -612,3 +612,58 @@ def test_http_server_prometheus_metrics(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_image_endpoints(tmp_path):
+    """Raw-image routes (/generate_image, /progression_image): JPEG/PNG in,
+    PNG out, with the host doing the test-time transform (shorter-side
+    resize + center crop). Value-pinned against the served module run on
+    the same transform; condition/query errors 400."""
+    import io
+    import threading
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from PIL import Image
+    from pcgan_tpu.client import ServingClient, ServingError
+    from pcgan_tpu.serving import export_generator, load_exported
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    raw = np.random.default_rng(0).integers(0, 256, (48, 40, 3),
+                                            dtype=np.uint8)  # non-square
+    buf = io.BytesIO()
+    Image.fromarray(raw).save(buf, "PNG")
+    png_in = buf.getvalue()
+    nb, s = cfg.data.n_age_bins, cfg.data.crop_size
+    try:
+        c = ServingClient(f"http://127.0.0.1:{port}", timeout=120)
+        out_png = c.generate_image(png_in, bin=2)
+        img = Image.open(io.BytesIO(out_png))
+        assert img.size == (s, s) and img.mode == "RGB"
+        # value pin: the host's decode+transform is serve_http's own helper,
+        # so the route must byte-match [transform -> served -> PNG-encode]
+        served = load_exported(str(tmp_path))
+        x = serve_http._decode_image_body(png_in, served.meta)
+        want = serve_http._png_bytes(served(x, served.all_conditions()[2:3])[0])
+        assert out_png == want
+
+        strip_png = c.progression_image(png_in)
+        strip = Image.open(io.BytesIO(strip_png))
+        assert strip.size == ((nb + 1) * s, s)   # [input | nb aged tiles]
+
+        for bad in (dict(score=0.5),   # score query on a onehot artifact
+                    dict(bin=99)):     # out-of-range bin
+            with pytest.raises(ServingError) as ei:
+                c.generate_image(png_in, **bad)
+            assert ei.value.status == 400
+        with pytest.raises(ServingError) as ei:
+            c.progression_image(b"this is not an image")
+        assert ei.value.status == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -11,6 +11,13 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
                        -> .npy fakes (B,H,W,C) f32
     POST /progression  body: .npz {images}
                        -> .npy grid (B, n_conditions, H, W, C) f32
+    POST /generate_image?bin=K | ?score=S
+                       body: raw JPEG/PNG bytes -> PNG of the aged face
+                       (decode, shorter-side resize + center crop to the
+                       artifact's crop_size on the host; needs Pillow)
+    POST /progression_image
+                       body: raw JPEG/PNG bytes -> PNG strip
+                       [input | aged@cond_0 | ... | aged@cond_{K-1}]
     GET  /healthz      -> JSON artifact metadata
     GET  /metrics      -> Prometheus text format (scrape-ready counters)
     POST /reload       body: JSON {"artifact_dir": path} (or empty = re-read
@@ -57,6 +64,79 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, np.asarray(arr, np.float32), allow_pickle=False)
     return buf.getvalue()
+
+
+def _pil():
+    """The image endpoints are the only Pillow consumers; the npz/npy API
+    keeps working on hosts without it."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError as e:
+        raise ValueError(
+            "the */_image endpoints need Pillow on the serving host; "
+            "use the .npz /generate and /progression routes instead") from e
+
+
+def _decode_image_body(body: bytes, meta: dict) -> np.ndarray:
+    """Raw JPEG/PNG bytes -> (1, S, S, 3) f32 in [-1, 1]: shorter side
+    bicubic-resized to the artifact's crop_size, then center-cropped — the
+    test-time transform family (sample.py eval convention)."""
+    Image = _pil()
+    if int(meta["input_nc"]) != 3:
+        raise ValueError("image endpoints serve 3-channel artifacts only")
+    try:
+        img = Image.open(io.BytesIO(body))
+        img.load()
+    except Exception as e:
+        raise ValueError(f"request body is not a decodable image: {e}") from e
+    img = img.convert("RGB")
+    s = int(meta["crop_size"])
+    w, h = img.size
+    scale = s / min(w, h)
+    img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))),
+                     Image.Resampling.BICUBIC)
+    w, h = img.size
+    left, top = (w - s) // 2, (h - s) // 2
+    img = img.crop((left, top, left + s, top + s))
+    return (np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    """(H, W, C) f32 [-1, 1] -> PNG bytes."""
+    Image = _pil()
+    u8 = np.clip((np.asarray(arr, np.float32) + 1.0) * 127.5 + 0.5,
+                 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _cond_from_query(query: str, served) -> np.ndarray:
+    """?bin=K (onehot artifacts) or ?score=S in [-1,1] (score artifacts)
+    -> a (1, cond_nc) condition row."""
+    from urllib.parse import parse_qs
+    q = parse_qs(query)
+    mode = served.meta["cond_mode"]
+    if "score" in q:
+        if mode != "score":
+            raise ValueError("?score= needs a score-mode artifact; this one "
+                             "is onehot — use ?bin=K")
+        s = float(q["score"][0])
+        if not -1.0 <= s <= 1.0:
+            raise ValueError(f"score must be in [-1, 1]; got {s}")
+        return np.array([[s]], np.float32)
+    if "bin" in q:
+        if mode == "score":
+            raise ValueError("?bin= needs a onehot artifact; this one is "
+                             "score-mode — use ?score=S")
+        nb = int(served.meta["n_age_bins"])
+        k = int(q["bin"][0])
+        if not 0 <= k < nb:
+            raise ValueError(f"bin must be in [0, {nb}); got {k}")
+        return served.all_conditions()[k:k + 1]
+    raise ValueError("generate_image needs ?bin=K (onehot) or ?score=S "
+                     "(score-mode)")
 
 
 class Batcher:
@@ -294,11 +374,13 @@ def make_server(artifact_dir: str, host: str, port: int,
                                             "artifact_dir":
                                                 current["artifact_dir"],
                                             "meta": new_served.meta})
-                if self.path == "/generate":
+                from urllib.parse import urlsplit
+                route = urlsplit(self.path)
+                if route.path == "/generate":
                     images, cond = _load_npz(body, "images", "cond")
                     out = dispatch(images, cond)
-                    rows = images.shape[0]
-                elif self.path == "/progression":
+                    rows, reply = images.shape[0], None
+                elif route.path == "/progression":
                     (images,) = _load_npz(body, "images")
                     if batcher is None:
                         with lock:
@@ -308,13 +390,37 @@ def make_server(artifact_dir: str, host: str, port: int,
                         # repeat/tile pairing stays in ONE place
                         out = current["served"].progression(images,
                                                             call=dispatch)
-                    rows = out.shape[0] * out.shape[1]
+                    rows, reply = out.shape[0] * out.shape[1], None
+                elif route.path == "/generate_image":
+                    # demo/deployment sugar: raw image in, PNG out — the
+                    # host does the test-time transform; same dispatch path
+                    srv = current["served"]
+                    images = _decode_image_body(body, srv.meta)
+                    cond = _cond_from_query(route.query, srv)
+                    out = dispatch(images, cond)
+                    rows, reply = 1, (_png_bytes(out[0]), "image/png")
+                elif route.path == "/progression_image":
+                    srv = current["served"]
+                    images = _decode_image_body(body, srv.meta)
+                    if batcher is None:
+                        with lock:
+                            grid = srv.progression(images)
+                    else:
+                        grid = srv.progression(images, call=dispatch)
+                    strip = np.concatenate([images[0]] + list(grid[0]),
+                                           axis=1)   # [input | aged@conds]
+                    rows = grid.shape[1]
+                    reply = (_png_bytes(strip), "image/png")
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
                 with stats_lock:
                     stats["requests"] += 1
                     stats["rows"] += int(rows)
-                self._reply(200, _npy_bytes(out), "application/octet-stream")
+                if reply is not None:
+                    self._reply(200, reply[0], reply[1])
+                else:
+                    self._reply(200, _npy_bytes(out),
+                                "application/octet-stream")
             except (KeyError, ValueError, OSError,
                     json.JSONDecodeError) as e:
                 with stats_lock:

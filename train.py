@@ -192,20 +192,29 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             # scheduler's epoch metric averages the SAME print points the
             # uninterrupted run would have (exact-resume, SURVEY.md SS6)
             resume_losses = _read_host_sidecar(run_dir, int(state.step))
-    if any(ax in mesh.axis_names and mesh.shape[ax] > 1
-           for ax in ("spatial", "model")):
-        # mesh with spatial and/or model axes: GSPMD-partitioned step
-        # (parallel/auto.py) — XLA inserts conv halo exchanges for H-dim
-        # activation sharding and the gather/reduce traffic for model-axis
-        # (tensor/weight) sharded params+optimizer+EMA. Pool runs
+    if cfg.parallel.zero1 or any(
+            ax in mesh.axis_names and mesh.shape[ax] > 1
+            for ax in ("spatial", "model")):
+        # mesh with spatial and/or model axes (or --zero1 optimizer-state
+        # sharding): GSPMD-partitioned step (parallel/auto.py) — XLA inserts
+        # conv halo exchanges for H-dim activation sharding, the
+        # gather/reduce traffic for model-axis (tensor/weight) sharded
+        # params+optimizer+EMA, and the ZeRO-1 reduce-scatter/all-gather
+        # schedule for data-axis-sharded Adam trees. Pool runs
         # global/replicated on this path.
         from pcgan_tpu.parallel.auto import (make_auto_train_step,
                                              place_auto_state)
-        state = place_auto_state(state, mesh)
+        zero1 = cfg.parallel.zero1
+        if zero1 and not ("data" in mesh.axis_names
+                          and mesh.shape["data"] > 1):
+            raise SystemExit("--zero1 needs a mesh data axis > 1 "
+                             "(nothing to shard the optimizer over)")
+        state = place_auto_state(state, mesh, zero1=zero1)
         step_fn = make_auto_train_step(cfg, G, D, C, steps_per_epoch,
                                        mesh=mesh)
         print("GSPMD step over mesh "
-              + "x".join(f"{ax}={mesh.shape[ax]}" for ax in mesh.axis_names),
+              + "x".join(f"{ax}={mesh.shape[ax]}" for ax in mesh.axis_names)
+              + (" + zero1 optimizer sharding" if zero1 else ""),
               flush=True)
     else:
         state = shard_train_state(state, mesh)
