@@ -38,7 +38,8 @@ import optax
 from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
-from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
+from pcgan_tpu.ops.gan_loss import (feature_matching_loss, gan_loss,
+                                    gradient_penalty, r1_penalty, split_pred)
 from pcgan_tpu.train import TrainState, make_gan_optimizers
 from pcgan_tpu.utils import image_pool
 
@@ -105,14 +106,16 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         return (cond_real, cond_target,
                 state.bin_lo[target_bin], state.bin_hi[target_bin])
 
-    def d_apply(d_params, x, cond, base_state, d_state=None):
+    def d_apply(d_params, x, cond, base_state, d_state=None,
+                return_features=False):
         d_state = base_state if d_state is None else d_state
         variables = {"params": d_params, **d_state}
+        kw = {"return_features": True} if return_features else {}
         if d_state:
             logits, new_state = D.apply(variables, x, cond, train=True,
-                                        mutable=list(d_state))
+                                        mutable=list(d_state), **kw)
             return logits, new_state
-        return D.apply(variables, x, cond, train=True), d_state
+        return D.apply(variables, x, cond, train=True, **kw), d_state
 
     def g_apply_2b(g_params, g_state, x2, c2, r_drop, with_vjp):
         """The fused 2B generator forward (fake + reconstruction), with or
@@ -189,7 +192,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                     if use_aug:
                         xx = aug(jax.random.fold_in(r_aug, 0), xx)
                     pred, ds2 = d_apply(d_params, xx, cc, d_state)
-                    pred_real, pred_fake = pred[:bsz], pred[bsz:]
+                    pred_real, pred_fake = split_pred(pred, bsz)
                     r1_real = xx[:bsz]
                 else:
                     real_d, fake_dd = real, fake_d.astype(compute_dtype)
@@ -263,12 +266,29 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             out, g_vjp, new_g_state = g_apply_2b(
                 state.g_params, g_state, x2, c2, r_drop, with_vjp=True)
 
+            if t.lambda_feat > 0:
+                # pix2pixHD feature matching — same fold-4 view as the fake
+                # (see the fused-step comment in train.py)
+                real_fm = (aug(jax.random.fold_in(r_aug, 4), real)
+                           if use_aug else real)
+                (_, real_feats), _ = d_apply(d_for_g, real_fm, cond_real,
+                                             state.d_state,
+                                             return_features=True)
+                real_feats = jax.lax.stop_gradient(real_feats)
+
             def g_out_loss(out):
                 fake, idt = out[:bsz], out[bsz:]
                 fake_for_d = (aug(jax.random.fold_in(r_aug, 4), fake)
                               if use_aug else fake)
-                pred, _ = d_apply(d_for_g, fake_for_d, cond_target,
-                                  state.d_state)
+                if t.lambda_feat > 0:
+                    (pred, fake_feats), _ = d_apply(
+                        d_for_g, fake_for_d, cond_target, state.d_state,
+                        return_features=True)
+                    l_feat = feature_matching_loss(fake_feats, real_feats)
+                else:
+                    pred, _ = d_apply(d_for_g, fake_for_d, cond_target,
+                                      state.d_state)
+                    l_feat = jnp.float32(0.0)
                 l_gan = gan_loss(pred, True, t.gan_mode,
                                  for_discriminator=False)
                 l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)
@@ -283,17 +303,19 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                                                         cond_lo, cond_hi)
                 else:
                     l_cond = jnp.float32(0.0)
-                loss = l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
-                return loss, (l_gan, l_l1, l_cond)
+                loss = (l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
+                        + t.lambda_feat * l_feat)
+                return loss, (l_gan, l_l1, l_cond, l_feat)
 
-            (g_loss, (l_gan, l_l1, l_cond)), dout = (
+            (g_loss, (l_gan, l_l1, l_cond, l_feat)), dout = (
                 jax.value_and_grad(g_out_loss, has_aux=True)(out))
             (g_grads,) = g_vjp(dout)
             g_gsum = jax.tree.map(jnp.add, g_gsum, g_grads)
             sums = (sums[0] + g_loss.astype(jnp.float32),
                     sums[1] + l_gan.astype(jnp.float32),
                     sums[2] + l_l1.astype(jnp.float32),
-                    sums[3] + l_cond.astype(jnp.float32))
+                    sums[3] + l_cond.astype(jnp.float32),
+                    sums[4] + l_feat.astype(jnp.float32))
             # thread the UPDATED norm state: phase B's microbatch i must see
             # the same mutable collections phase A's microbatch i saw, or
             # the recomputed fakes drift from the ones D trained against
@@ -301,7 +323,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
 
         zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
         (g_gsum, _, g_sums), _ = jax.lax.scan(
-            phase_b, (zeros_g, state.g_state, (jnp.float32(0),) * 4),
+            phase_b, (zeros_g, state.g_state, (jnp.float32(0),) * 5),
             (idx, mbs))
         g_grads = psum_mean(jax.tree.map(lambda g: g / accum, g_gsum))
         g_upd, new_g_opt = tx.update(g_grads, state.g_opt, state.g_params)
@@ -330,6 +352,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         }
         if t.lambda_r1 > 0:
             metrics["loss_D_r1"] = d_sums[3] / n
+        if t.lambda_feat > 0:
+            metrics["loss_G_feat"] = g_sums[4] / n
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts from the apply_if_finite
             # wrapper make_optimizer added (same lever as the fused step)

@@ -90,10 +90,15 @@ class ModelConfig:
 
     model: str = "pcgan"             # pcgan | comparator
     netG: str = "resnet_9blocks"     # resnet_9blocks|resnet_6blocks|unet_128|unet_256
-    netD: str = "basic"              # basic | n_layers | pixel
+    netD: str = "basic"              # basic | n_layers | pixel | multiscale
     ngf: int = 64
     ndf: int = 64
     n_layers_D: int = 3
+    # --netD multiscale (pix2pixHD, Wang 2018): number of PatchGAN
+    # discriminators, D_k scoring a 2^k-mean-pooled view. Beyond-reference
+    # model family for 256px+ training; losses average over scales so
+    # --lambda_* weights transfer.
+    num_D: int = 2
     norm: str = "instance"           # instance | batch | group | none
     # spectral normalization of every D conv (SN-GAN, Miyato 2018): kernel
     # divided by its largest singular value (one power-iteration step per
@@ -148,6 +153,11 @@ class TrainConfig:
     # naturally with lsgan/hinge/vanilla (wgangp already carries its own
     # interpolate penalty). Beyond-reference opt-in; 0 = off = parity.
     lambda_r1: float = 0.0
+    # pix2pixHD feature-matching loss (Wang 2018 eq. 4): L1 between D's
+    # intermediate features on fake vs real (gradients to G only). Works
+    # with any netD; the published weight is 10. Costs one extra B-sized D
+    # forward per step. Beyond-reference opt-in; 0 = off = parity.
+    lambda_feat: float = 0.0
     pool_size: int = 50              # fake-image pool for D (C12)
     niter: int = 100                 # epochs at constant lr
     niter_decay: int = 100           # epochs of linear lr decay to 0
@@ -368,6 +378,7 @@ _FLAG_MAP = {
     "ngf": ("model", "ngf"),
     "ndf": ("model", "ndf"),
     "n_layers_D": ("model", "n_layers_D"),
+    "num_D": ("model", "num_D"),
     "norm": ("model", "norm"),
     "spectral_norm": ("model", "spectral_norm"),
     "init_type": ("model", "init_type"),
@@ -395,6 +406,7 @@ _FLAG_MAP = {
     "lambda_cond": ("train", "lambda_cond"),
     "lambda_gp": ("train", "lambda_gp"),
     "lambda_r1": ("train", "lambda_r1"),
+    "lambda_feat": ("train", "lambda_feat"),
     "skip_nonfinite": ("train", "skip_nonfinite"),
     "pool_size": ("train", "pool_size"),
     "niter": ("train", "niter"),
@@ -472,6 +484,11 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "num_D": "with --netD multiscale: number of PatchGAN discriminators "
+             "(pix2pixHD, Wang 2018) — D_k scores a 2^k-mean-pooled view; "
+             "per-scale losses average so --lambda_* weights transfer. "
+             "Beyond-reference model family (basic/n_layers/pixel are the "
+             "parity surface)",
     "zero1": "ZeRO stage 1: shard BOTH Adam moment trees (2x params in f32 "
              "— the largest resident-state term) over the mesh data axis; "
              "params and the EMA twin stay replicated so forward/backward "
@@ -495,6 +512,13 @@ _FLAG_HELP = {
                  "(wgangp already carries its own interpolate penalty). "
                  "Beyond-reference opt-in; 0 = off = parity. Typical "
                  "values 0.1-10; streams as loss_D_r1",
+    "lambda_feat": "pix2pixHD feature-matching weight (Wang 2018 eq. 4): L1 "
+                   "between the discriminator's intermediate features on "
+                   "fake vs real, gradients to G only — the standard "
+                   "perceptual-ish stabilizer for multiscale D (works with "
+                   "any --netD). Published value 10. Costs one extra "
+                   "B-sized D forward per step; streams as loss_G_feat. "
+                   "Beyond-reference opt-in; 0 = off = parity",
     "skip_nonfinite": "N > 0: a train step whose gradients contain inf/nan "
                       "applies a ZERO update (params/Adam moments/EMA hold) "
                       "instead of poisoning the run; after N consecutive "

@@ -62,8 +62,13 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray = None,
-                 train: bool = True) -> jnp.ndarray:
-        """x: (N,H,W,C); cond: (N,cond_nc) or None. Returns patch logits (f32)."""
+                 train: bool = True, return_features: bool = False):
+        """x: (N,H,W,C); cond: (N,cond_nc) or None. Returns patch logits (f32).
+
+        ``return_features=True`` (--lambda_feat, pix2pixHD feature matching)
+        additionally returns the post-activation map of every pre-logit
+        block, shallowest first — n_layers+1 maps. Param tree is identical
+        either way (same modules, just extra taps on the same forward)."""
         if cond is not None:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
@@ -71,10 +76,12 @@ class NLayerDiscriminator(nn.Module):
         use_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
         sn = self.spectral_norm
+        feats = []
 
         h = _apply_conv(TorchConv(self.ndf, 4, 2, 1, use_bias=True, **kw),
                         x, sn, train)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         nf_mult = 1
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
@@ -83,15 +90,82 @@ class NLayerDiscriminator(nn.Module):
                 h, sn, train)
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.leaky_relu(h, 0.2)
+            feats.append(h)
         nf_mult = min(2 ** self.n_layers, 8)
         h = _apply_conv(
             TorchConv(self.ndf * nf_mult, 4, 1, 1, use_bias=use_bias, **kw),
             h, sn, train)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         h = _apply_conv(TorchConv(1, 4, 1, 1, use_bias=True, **kw),
                         h, sn, train)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_features:
+            return out, tuple(feats)
+        return out
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """pix2pixHD-style multi-scale PatchGAN (Wang et al. 2018 — a
+    beyond-reference ``--netD multiscale`` family next to basic/n_layers/
+    pixel): ``num_D`` independent NLayerDiscriminators, D_k scoring a
+    2^k-mean-pooled view of the (condition-concatenated) input. The finest
+    D keeps the 70px-receptive-field texture pressure; coarser Ds see more
+    global structure per patch — the standard ladder for 256px+ synthesis.
+
+    Returns a TUPLE of patch-logit maps, finest first. ``ops/gan_loss.py``
+    averages the per-scale criteria (keeping loss magnitudes comparable to
+    a single D, so --lambda_* weights transfer) and the GP/R1 penalties sum
+    all scales' logits (torch grad_outputs=ones semantics). Downsampling is
+    an exact 2x2/stride-2 mean — shape-exact for the even sizes this
+    framework trains at, no edge-padding semantics to document.
+    """
+
+    ndf: int = 64
+    n_layers: int = 3
+    num_D: int = 2
+    norm: str = "instance"
+    spectral_norm: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray = None,
+                 train: bool = True, return_features: bool = False):
+        if cond is not None:
+            # concat once at full resolution; the pooled views inherit the
+            # (spatially constant) condition channels exactly
+            x = jnp.concatenate(
+                [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
+        outs, all_feats = [], []
+        h = x
+        for k in range(self.num_D):
+            if k:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            out = NLayerDiscriminator(
+                ndf=self.ndf, n_layers=self.n_layers, norm=self.norm,
+                spectral_norm=self.spectral_norm, dtype=self.dtype,
+                kernel_init=self.kernel_init, name=f"D_{k}")(
+                    h, None, train, return_features=return_features)
+            if return_features:
+                out, feats = out
+                all_feats.append(feats)
+            if out.shape[1] < 1 or out.shape[2] < 1:
+                # shapes are static under jit, so this raises at trace time —
+                # an empty patch map would otherwise train as a silent no-op
+                # head (mean over zero patches = NaN)
+                raise ValueError(
+                    f"--netD multiscale: D_{k} (input {h.shape[1]}x"
+                    f"{h.shape[2]} after {k} 2x pools) produces an empty "
+                    f"{out.shape[1]}x{out.shape[2]} patch map. Lower --num_D "
+                    f"or --n_layers_D, or raise --crop_size: scale k needs "
+                    f"crop_size/2^k to survive n_layers_D stride-2 convs "
+                    f"plus two 4x4 valid-ish convs.")
+            outs.append(out)
+        if return_features:
+            return tuple(outs), tuple(all_feats)
+        return tuple(outs)
 
 
 class PixelDiscriminator(nn.Module):
@@ -103,20 +177,26 @@ class PixelDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray = None,
-                 train: bool = True) -> jnp.ndarray:
+                 train: bool = True, return_features: bool = False):
         if cond is not None:
             x = jnp.concatenate(
                 [x, broadcast_cond(cond, x.shape[1], x.shape[2], x.dtype)], -1)
         use_bias = conv_bias_before_norm(self.norm)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init)
         sn = self.spectral_norm
+        feats = []
         h = _apply_conv(TorchConv(self.ndf, 1, 1, 0, use_bias=True, **kw),
                         x, sn, train)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         h = _apply_conv(TorchConv(self.ndf * 2, 1, 1, 0, use_bias=use_bias, **kw),
                         h, sn, train)
         h = Norm(self.norm, self.dtype)(h, train)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         h = _apply_conv(TorchConv(1, 1, 1, 0, use_bias=True, **kw),
                         h, sn, train)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_features:
+            return out, tuple(feats)
+        return out

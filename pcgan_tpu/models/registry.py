@@ -17,7 +17,9 @@ from flax import linen as nn
 
 from pcgan_tpu.config import Config
 from pcgan_tpu.models.comparator import Comparator
-from pcgan_tpu.models.discriminator import NLayerDiscriminator, PixelDiscriminator
+from pcgan_tpu.models.discriminator import (MultiScaleDiscriminator,
+                                            NLayerDiscriminator,
+                                            PixelDiscriminator)
 from pcgan_tpu.models.generator import ResnetGenerator, UnetGenerator
 from pcgan_tpu.models.layers import make_initializer
 
@@ -96,6 +98,14 @@ def define_D(cfg: Config) -> nn.Module:
                                    n_layers=cfg.model.n_layers_D, **kw)
     if name == "pixel":
         return PixelDiscriminator(ndf=cfg.model.ndf, **kw)
+    if name == "multiscale":
+        # pix2pixHD family (beyond-reference): num_D PatchGANs over a
+        # 2x-mean-pool pyramid; returns a tuple of patch maps
+        if cfg.model.num_D < 1:
+            raise NotImplementedError(f"--num_D {cfg.model.num_D}: need >= 1")
+        return MultiScaleDiscriminator(ndf=cfg.model.ndf,
+                                       n_layers=cfg.model.n_layers_D,
+                                       num_D=cfg.model.num_D, **kw)
     raise NotImplementedError(f"netD [{name}] not implemented")
 
 

@@ -19,9 +19,33 @@ def _bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
     return jnp.mean(jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x))))
 
 
+def split_pred(pred, bsz: int):
+    """Split a 2B-batched D output into (first-B, second-B) halves —
+    per-scale for the multiscale discriminator's tuple of patch maps."""
+    if isinstance(pred, (tuple, list)):
+        return (tuple(p[:bsz] for p in pred), tuple(p[bsz:] for p in pred))
+    return pred[:bsz], pred[bsz:]
+
+
+def _sum_logits(out) -> jnp.ndarray:
+    """Total sum of D logits across all scales (torch grad_outputs=ones
+    semantics for the penalty double-backwards)."""
+    if isinstance(out, (tuple, list)):
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+    return jnp.sum(out.astype(jnp.float32))
+
+
 def gan_loss(logits: jnp.ndarray, target_is_real: bool, mode: str = "lsgan",
              for_discriminator: bool = True) -> jnp.ndarray:
-    """Loss for one batch of D outputs, matching reference GANLoss semantics."""
+    """Loss for one batch of D outputs, matching reference GANLoss semantics.
+
+    A tuple/list of patch maps (``--netD multiscale``) averages the
+    per-scale criteria, keeping the loss magnitude comparable to a single
+    D so the --lambda_* weights transfer unchanged."""
+    if isinstance(logits, (tuple, list)):
+        per = [gan_loss(l, target_is_real, mode, for_discriminator)
+               for l in logits]
+        return sum(per) / len(per)
     x = logits.astype(jnp.float32)
     if mode == "vanilla":
         return _bce_logits(x, 1.0 if target_is_real else 0.0)
@@ -38,6 +62,29 @@ def gan_loss(logits: jnp.ndarray, target_is_real: bool, mode: str = "lsgan",
     raise NotImplementedError(f"gan_mode [{mode}] not implemented")
 
 
+def feature_matching_loss(fake_feats, real_feats) -> jnp.ndarray:
+    """pix2pixHD feature-matching loss (Wang et al. 2018 eq. 4) for
+    ``--lambda_feat``: L1 between the discriminator's intermediate features
+    on fake vs real, gradients flowing to G only (callers stop_gradient the
+    real side).
+
+    Accepts one D's feature list (tuple of maps) or the multiscale tuple of
+    such lists. Weights mirror pix2pixHD's: each scale contributes
+    ``4/(n_feat) * mean(|f_fake - f_real|)`` per layer, averaged over scales
+    — so the magnitude is comparable across --num_D/--n_layers_D choices
+    and the published lambda_feat=10 transfers."""
+    if fake_feats and isinstance(fake_feats[0], (tuple, list)):
+        per = [feature_matching_loss(f, r)
+               for f, r in zip(fake_feats, real_feats)]
+        return sum(per) / len(per)
+    w = 4.0 / max(len(fake_feats), 1)
+    total = jnp.float32(0.0)
+    for f, r in zip(fake_feats, real_feats):
+        total += w * jnp.mean(jnp.abs(f.astype(jnp.float32)
+                                      - r.astype(jnp.float32)))
+    return total
+
+
 def gradient_penalty(d_apply, variables, real: jnp.ndarray, fake: jnp.ndarray,
                      cond: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     """WGAN-GP penalty on random interpolates (reference ``cal_gradient_penalty``
@@ -46,7 +93,7 @@ def gradient_penalty(d_apply, variables, real: jnp.ndarray, fake: jnp.ndarray,
     inter = eps * real.astype(jnp.float32) + (1.0 - eps) * fake.astype(jnp.float32)
 
     def d_sum(x):
-        return jnp.sum(d_apply(variables, x, cond).astype(jnp.float32))
+        return _sum_logits(d_apply(variables, x, cond))
 
     grads = jax.grad(d_sum)(inter)
     gnorm = jnp.sqrt(jnp.sum(grads.astype(jnp.float32) ** 2,
@@ -71,7 +118,7 @@ def r1_penalty(d_apply, variables, real: jnp.ndarray,
     input gradients).
     """
     def d_sum(x):
-        return jnp.sum(d_apply(variables, x, cond).astype(jnp.float32))
+        return _sum_logits(d_apply(variables, x, cond))
 
     grads = jax.grad(d_sum)(real.astype(jnp.float32))
     return jnp.mean(jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2, 3)))

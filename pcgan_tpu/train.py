@@ -42,7 +42,8 @@ from flax import struct
 from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
-from pcgan_tpu.ops.gan_loss import gan_loss, gradient_penalty, r1_penalty
+from pcgan_tpu.ops.gan_loss import (feature_matching_loss, gan_loss,
+                                    gradient_penalty, r1_penalty, split_pred)
 from pcgan_tpu.utils import image_pool
 
 
@@ -352,14 +353,15 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         new_pool, fake_d, cond_fake_d = image_pool.query(
             state.pool, fake_det, cond_target, r_pool)
 
-        def d_apply(d_params, x, cond, d_state=None):
+        def d_apply(d_params, x, cond, d_state=None, return_features=False):
             d_state = state.d_state if d_state is None else d_state
             variables = {"params": d_params, **d_state}
+            kw = {"return_features": True} if return_features else {}
             if d_state:
                 logits, new_state = D.apply(variables, x, cond, train=True,
-                                            mutable=list(d_state))
+                                            mutable=list(d_state), **kw)
                 return logits, new_state
-            return D.apply(variables, x, cond, train=True), d_state
+            return D.apply(variables, x, cond, train=True, **kw), d_state
 
         def d_loss_fn(d_params):
             if fuse_d:
@@ -373,7 +375,7 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                 if use_aug:   # per-sample draws across the whole 2B batch
                     xx = aug(jax.random.fold_in(r_aug, 0), xx)
                 pred, ds2 = d_apply(d_params, xx, cc)
-                pred_real, pred_fake = pred[:bsz], pred[bsz:]
+                pred_real, pred_fake = split_pred(pred, bsz)
                 r1_real = xx[:bsz]
             else:
                 # batchnorm: keep the reference's sequential two-pass
@@ -431,11 +433,29 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         # ---- G update (vs updated D in 'sequential' reference mode) --------
         d_for_g = new_d_params if mode == "sequential" else state.d_params
 
+        if t.lambda_feat > 0:
+            # pix2pixHD feature matching (--lambda_feat): D's intermediate
+            # features on the real batch are the (constant) targets — one
+            # extra B-sized D forward, no gradients. The real view gets the
+            # SAME DiffAugment draw (fold 4) as the fake below, so FM
+            # compares equivalently-transformed views per sample.
+            real_fm = (aug(jax.random.fold_in(r_aug, 4), real)
+                       if use_aug else real)
+            (_, real_feats), _ = d_apply(d_for_g, real_fm, cond_real,
+                                         return_features=True)
+            real_feats = jax.lax.stop_gradient(real_feats)
+
         def g_out_loss(out):
             fake, idt = out[:bsz], out[bsz:]
             fake_for_d = (aug(jax.random.fold_in(r_aug, 4), fake)
                           if use_aug else fake)   # grads flow through T
-            pred, _ = d_apply(d_for_g, fake_for_d, cond_target)
+            if t.lambda_feat > 0:
+                (pred, fake_feats), _ = d_apply(
+                    d_for_g, fake_for_d, cond_target, return_features=True)
+                l_feat = feature_matching_loss(fake_feats, real_feats)
+            else:
+                pred, _ = d_apply(d_for_g, fake_for_d, cond_target)
+                l_feat = jnp.float32(0.0)
             l_gan = gan_loss(pred, True, t.gan_mode, for_discriminator=False)
             l_l1 = jnp.mean(jnp.abs(idt.astype(jnp.float32)
                                     - real.astype(jnp.float32)))
@@ -455,10 +475,11 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                                                     cond_lo, cond_hi)
             else:
                 l_cond = jnp.float32(0.0)
-            loss = l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
-            return loss, (l_gan, l_l1, l_cond)
+            loss = (l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
+                    + t.lambda_feat * l_feat)
+            return loss, (l_gan, l_l1, l_cond, l_feat)
 
-        (g_loss, (l_g_gan, l_g_l1, l_g_cond)), dout = (
+        (g_loss, (l_g_gan, l_g_l1, l_g_cond, l_g_feat)), dout = (
             jax.value_and_grad(g_out_loss, has_aux=True)(out))
         (g_grads,) = g_vjp(dout)
         g_grads = psum_mean(g_grads)
@@ -490,6 +511,8 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         }
         if t.lambda_r1 > 0:
             metrics["loss_D_r1"] = l_d_r1
+        if t.lambda_feat > 0:
+            metrics["loss_G_feat"] = l_g_feat
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts; grads are psum'd BEFORE the
             # wrapper sees them, so every device skips (or not) in lockstep
