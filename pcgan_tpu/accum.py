@@ -142,7 +142,18 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
     # keeps the rng split count unchanged (off path bit-identical)
     from pcgan_tpu.ops.diffaug import make_diff_augment, parse_policy
     use_aug = bool(parse_policy(t.diff_augment))  # ',' / ' ' == off
-    aug = make_diff_augment(t.diff_augment)
+    aug_always = make_diff_augment(t.diff_augment)
+    # --ada_target: same wiring as the fused step (train.py) — per-sample
+    # gated policy at probability state.aug_p, adapted in-device after the
+    # D update from the microbatch-averaged r_t
+    use_ada = t.ada_target > 0
+    if use_ada:
+        if not use_aug:
+            raise ValueError("--ada_target needs a non-empty --diff_augment "
+                             "policy to adapt (e.g. color,translation,cutout)")
+        from pcgan_tpu.ops.diffaug import make_ada_augment
+        ada_aug = make_ada_augment(t.diff_augment)
+    use_vgg = t.lambda_vgg > 0   # same wiring as the fused step
 
     def mb_rngs(state, i):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -165,6 +176,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         mbs = {k: v.reshape(accum, bsz, *v.shape[1:])
                for k, v in batch.items()}
         idx = jnp.arange(accum)
+        aug = ((lambda r, x: ada_aug(r, x, state.aug_p)) if use_ada
+               else aug_always)
 
         # ---- phase A: D gradients over the microbatch scan -----------------
         def phase_a(carry, xs):
@@ -229,27 +242,44 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                     loss = loss + (0.5 * t.lambda_r1) * r1
                 else:
                     r1 = jnp.float32(0.0)
-                return loss, (l_real, l_fake, r1, ds2)
+                from pcgan_tpu.ops.gan_loss import overfit_heuristic
+                rt = (overfit_heuristic(jax.lax.stop_gradient(pred_real),
+                                        t.gan_mode)
+                      if use_ada else jnp.float32(0.0))
+                return loss, (l_real, l_fake, r1, rt, ds2)
 
-            (d_loss, (l_r, l_f, r1, new_d_state)), d_grads = (
+            (d_loss, (l_r, l_f, r1, rt, new_d_state)), d_grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
             d_gsum = jax.tree.map(jnp.add, d_gsum, d_grads)
             sums = (sums[0] + d_loss.astype(jnp.float32),
                     sums[1] + l_r.astype(jnp.float32),
                     sums[2] + l_f.astype(jnp.float32),
-                    sums[3] + r1.astype(jnp.float32))
+                    sums[3] + r1.astype(jnp.float32),
+                    sums[4] + rt.astype(jnp.float32))
             return (new_pool, d_gsum, new_g_state, new_d_state, sums), None
 
         zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
         (new_pool, d_gsum, new_g_state, new_d_state, d_sums), _ = (
             jax.lax.scan(phase_a,
                          (state.pool, zeros_d, state.g_state, state.d_state,
-                          (jnp.float32(0),) * 4),
+                          (jnp.float32(0),) * 5),
                          (idx, mbs)))
         d_grads = psum_mean(jax.tree.map(lambda g: g / accum, d_gsum))
         d_upd, new_d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
         d_upd = jax.tree.map(lambda u: u * state.lr_scale, d_upd)
         new_d_params = optax.apply_updates(state.d_params, d_upd)
+
+        if use_ada:
+            # microbatch-mean r_t == the fused step's full-batch mean
+            # (equal microbatch sizes); pmean'd so p moves in lockstep
+            d_rt = psum_mean(d_sums[4] / jnp.float32(accum))
+            n_dev = jax.lax.psum(1, axis_name) if axis_name else 1
+            adj = (jnp.sign(d_rt - t.ada_target)
+                   * (big * n_dev / (t.ada_kimg * 1000.0)))
+            new_aug_p = jnp.clip(state.aug_p + adj, 0.0, 1.0)
+        else:
+            d_rt = jnp.float32(0.0)
+            new_aug_p = state.aug_p
 
         # ---- phase B: G gradients vs the updated D -------------------------
         d_for_g = new_d_params if mode == "sequential" else state.d_params
@@ -303,11 +333,16 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                                                         cond_lo, cond_hi)
                 else:
                     l_cond = jnp.float32(0.0)
+                if use_vgg:
+                    from pcgan_tpu.models.vgg import vgg_perceptual_loss
+                    l_vgg = vgg_perceptual_loss(state.vgg_vars, idt, real)
+                else:
+                    l_vgg = jnp.float32(0.0)
                 loss = (l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
-                        + t.lambda_feat * l_feat)
-                return loss, (l_gan, l_l1, l_cond, l_feat)
+                        + t.lambda_feat * l_feat + t.lambda_vgg * l_vgg)
+                return loss, (l_gan, l_l1, l_cond, l_feat, l_vgg)
 
-            (g_loss, (l_gan, l_l1, l_cond, l_feat)), dout = (
+            (g_loss, (l_gan, l_l1, l_cond, l_feat, l_vgg)), dout = (
                 jax.value_and_grad(g_out_loss, has_aux=True)(out))
             (g_grads,) = g_vjp(dout)
             g_gsum = jax.tree.map(jnp.add, g_gsum, g_grads)
@@ -315,7 +350,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
                     sums[1] + l_gan.astype(jnp.float32),
                     sums[2] + l_l1.astype(jnp.float32),
                     sums[3] + l_cond.astype(jnp.float32),
-                    sums[4] + l_feat.astype(jnp.float32))
+                    sums[4] + l_feat.astype(jnp.float32),
+                    sums[5] + l_vgg.astype(jnp.float32))
             # thread the UPDATED norm state: phase B's microbatch i must see
             # the same mutable collections phase A's microbatch i saw, or
             # the recomputed fakes drift from the ones D trained against
@@ -323,7 +359,7 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
 
         zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
         (g_gsum, _, g_sums), _ = jax.lax.scan(
-            phase_b, (zeros_g, state.g_state, (jnp.float32(0),) * 5),
+            phase_b, (zeros_g, state.g_state, (jnp.float32(0),) * 6),
             (idx, mbs))
         g_grads = psum_mean(jax.tree.map(lambda g: g / accum, g_gsum))
         g_upd, new_g_opt = tx.update(g_grads, state.g_opt, state.g_params)
@@ -354,6 +390,11 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             metrics["loss_D_r1"] = d_sums[3] / n
         if t.lambda_feat > 0:
             metrics["loss_G_feat"] = g_sums[4] / n
+        if use_vgg:
+            metrics["loss_G_vgg"] = g_sums[5] / n
+        if use_ada:
+            metrics["ada_p"] = new_aug_p
+            metrics["ada_rt"] = d_rt
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts from the apply_if_finite
             # wrapper make_optimizer added (same lever as the fused step)
@@ -369,7 +410,8 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             step=state.step + 1,
             g_params=new_g_params, g_state=new_g_state, g_opt=new_g_opt,
             d_params=new_d_params, d_state=new_d_state, d_opt=new_d_opt,
-            pool=new_pool, rng=state.rng, ema_params=new_ema)
+            pool=new_pool, rng=state.rng, ema_params=new_ema,
+            aug_p=new_aug_p)
         return new_state, metrics
 
     return train_step

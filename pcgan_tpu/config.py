@@ -158,6 +158,17 @@ class TrainConfig:
     # with any netD; the published weight is 10. Costs one extra B-sized D
     # forward per step. Beyond-reference opt-in; 0 = off = parity.
     lambda_feat: float = 0.0
+    # pix2pixHD VGG19 perceptual loss (Wang 2018; models/vgg.py): weighted
+    # L1 over the five relu taps between the RECONSTRUCTION G(real, own
+    # cond) and the real image — the perceptual upgrade of --lambda_L1's
+    # pairing (aging has no ground-truth pair for the aged fake). The
+    # published weight is 10. Needs --vgg_path (torchvision vgg19 .pth) or
+    # --vgg_path random for a weightless smoke path. Beyond-reference
+    # opt-in; 0 = off = parity.
+    lambda_vgg: float = 0.0
+    # torchvision vgg19 state_dict (.pth) for --lambda_vgg, or the literal
+    # 'random' (fresh-init features — CI/smoke only, documented as such)
+    vgg_path: str = ""
     pool_size: int = 50              # fake-image pool for D (C12)
     niter: int = 100                 # epochs at constant lr
     niter_decay: int = 100           # epochs of linear lr decay to 0
@@ -204,6 +215,19 @@ class TrainConfig:
     # overfitting on small datasets (the paper-scale UTKFace setting).
     # "" = off = reference parity; e.g. "color,translation,cutout".
     diff_augment: str = ""
+    # ADA — ADAPTIVE DiffAugment probability (Karras et al. 2020, "Training
+    # GANs with Limited Data"). 0 = off (the --diff_augment policy, when
+    # set, applies to every sample — the plain DiffAugment recipe). > 0
+    # (published value 0.6): each policy op instead fires per-sample with
+    # probability p, and the jitted step adapts p in-device from the
+    # overfitting heuristic r_t = E[sign(D(real) - mid)] — p rises while
+    # r_t > ada_target (D memorizing the reals) and decays otherwise, by
+    # batch/(ada_kimg*1000) per step, clipped to [0, 1]. p lives in
+    # TrainState (resume-exact); p and r_t stream as ada_p / ada_rt.
+    # Requires a non-empty --diff_augment policy.
+    ada_target: float = 0.0
+    # ADA adaptation speed: p traverses [0,1] in ada_kimg thousand images
+    ada_kimg: float = 500.0
     # warm-start G from a G-only checkpoint ("<run_name>/<tag>", resolved
     # under --checkpoints_dir; "<tag>" alone uses the current run name).
     # The reference-migration path: tools/import_pth.py converts a
@@ -407,6 +431,8 @@ _FLAG_MAP = {
     "lambda_gp": ("train", "lambda_gp"),
     "lambda_r1": ("train", "lambda_r1"),
     "lambda_feat": ("train", "lambda_feat"),
+    "lambda_vgg": ("train", "lambda_vgg"),
+    "vgg_path": ("train", "vgg_path"),
     "skip_nonfinite": ("train", "skip_nonfinite"),
     "pool_size": ("train", "pool_size"),
     "niter": ("train", "niter"),
@@ -424,6 +450,8 @@ _FLAG_MAP = {
     "ema_decay": ("train", "ema_decay"),
     "grad_accum": ("train", "grad_accum"),
     "diff_augment": ("train", "diff_augment"),
+    "ada_target": ("train", "ada_target"),
+    "ada_kimg": ("train", "ada_kimg"),
     "init_g_from": ("train", "init_g_from"),
     "comparator_path": ("train", "comparator_path"),
     "cmp_eval_frac": ("train", "cmp_eval_frac"),
@@ -577,6 +605,20 @@ _FLAG_HELP = {
                     "lever for small datasets (Zhao et al. 2020). L1/"
                     "comparator losses keep raw images. Beyond-reference "
                     "opt-in; '' = off = parity",
+    "lambda_vgg": "pix2pixHD VGG19 perceptual loss between the "
+                  "reconstruction and the real image (weighted L1 over the "
+                  "five relu taps; published weight 10). Needs --vgg_path. "
+                  "Beyond-reference opt-in; 0 = off = parity",
+    "vgg_path": "torchvision vgg19 state_dict (.pth) for --lambda_vgg, or "
+                "'random' for fresh-init features (smoke/CI only)",
+    "ada_target": "ADA (Karras 2020): > 0 makes the --diff_augment policy "
+                  "ADAPTIVE — each op fires per-sample with probability p, "
+                  "and the step steers p so the D-overfitting heuristic "
+                  "r_t = E[sign(D(real)-mid)] tracks this target (published "
+                  "0.6). p lives in TrainState; streams as ada_p/ada_rt. "
+                  "Beyond-reference opt-in; 0 = off",
+    "ada_kimg": "ADA adaptation speed: p traverses [0,1] over ada_kimg "
+                "thousand images (default 500)",
     "remat": "rematerialize G resnet/unet blocks in the backward pass "
              "(HBM relief for 256px large batches)",
     "quant_int8": "int8 post-training quantization of the G trunk convs "

@@ -111,3 +111,33 @@ def make_diff_augment(policy: str) -> Callable:
         return x
 
     return apply
+
+
+def make_ada_augment(policy: str) -> Callable:
+    """``(rng, x, p) -> x``: the ADA-gated policy chain (Karras et al.,
+    "Training GANs with Limited Data", NeurIPS 2020). Each policy op fires
+    INDEPENDENTLY per sample with probability ``p`` (a traced scalar the
+    train step adapts from the discriminator-overfitting heuristic r_t);
+    non-fired samples pass through untouched.
+
+    Branch-free: every op is computed for the whole batch and blended in
+    with a per-sample ``where`` mask — same FLOPs as the always-on chain,
+    no data-dependent shapes, still differentiable in x (gates depend only
+    on rng/p). ``p == 1`` reproduces :func:`make_diff_augment`'s output
+    bit-for-bit for the same per-op keys; ``p == 0`` is the identity.
+    Gate keys fold at offset 1000+i so they can never collide with the
+    per-op draw keys (fold i)."""
+    names = parse_policy(policy)
+    if not names:
+        raise ValueError("ADA needs a non-empty --diff_augment policy")
+
+    def apply(rng: jax.Array, x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        for i, n in enumerate(names):
+            y = _FNS[n](jax.random.fold_in(rng, i), x)
+            u = jax.random.uniform(jax.random.fold_in(rng, 1000 + i),
+                                   (b, 1, 1, 1), jnp.float32)
+            x = jnp.where(u < p, y, x)
+        return x
+
+    return apply

@@ -62,6 +62,22 @@ def gan_loss(logits: jnp.ndarray, target_is_real: bool, mode: str = "lsgan",
     raise NotImplementedError(f"gan_mode [{mode}] not implemented")
 
 
+def overfit_heuristic(pred_real, mode: str = "lsgan") -> jnp.ndarray:
+    """ADA discriminator-overfitting heuristic r_t (Karras et al. 2020,
+    "Training GANs with Limited Data", eq. for ``rv``):
+    ``r_t = E[sign(D(real) - mid)]`` over the real-batch patch logits —
+    +1 when D confidently separates every real patch (overfitting), ~0 at
+    equilibrium. ``mid`` is the mode's decision midpoint: 0.5 for lsgan
+    (D regresses real->1 / fake->0), 0 for the logit-output modes
+    (vanilla/hinge/wgangp). The multiscale tuple averages per-scale means
+    (the gan_loss convention), keeping r_t's scale invariant to --num_D."""
+    if isinstance(pred_real, (tuple, list)):
+        per = [overfit_heuristic(p, mode) for p in pred_real]
+        return sum(per) / len(per)
+    mid = 0.5 if mode == "lsgan" else 0.0
+    return jnp.mean(jnp.sign(pred_real.astype(jnp.float32) - mid))
+
+
 def feature_matching_loss(fake_feats, real_feats) -> jnp.ndarray:
     """pix2pixHD feature-matching loss (Wang et al. 2018 eq. 4) for
     ``--lambda_feat``: L1 between the discriminator's intermediate features

@@ -43,7 +43,8 @@ from pcgan_tpu.config import Config
 from pcgan_tpu.data.binning import bin_to_onehot
 from pcgan_tpu.models.comparator import condition_consistency_loss
 from pcgan_tpu.ops.gan_loss import (feature_matching_loss, gan_loss,
-                                    gradient_penalty, r1_penalty, split_pred)
+                                    gradient_penalty, overfit_heuristic,
+                                    r1_penalty, split_pred)
 from pcgan_tpu.utils import image_pool
 
 
@@ -171,6 +172,14 @@ class TrainState:
     pool: image_pool.PoolState
     rng: jax.Array
     ema_params: Any = None              # EMA twin of g_params (--ema_decay>0)
+    # ADA augmentation probability (--ada_target>0, else None so the state
+    # tree — and existing checkpoints — are untouched when the lever is off).
+    # A replicated f32 scalar the step adapts in-device from the
+    # D-overfitting heuristic; living here makes resume exact.
+    aug_p: Any = None
+    # frozen VGG19 trunk variables for --lambda_vgg (None = off, tree
+    # untouched) — same lifecycle as c_vars: loaded once, never trained
+    vgg_vars: Any = None
 
 
 def _split_vars(variables) -> Tuple[Any, Any]:
@@ -182,12 +191,17 @@ def _split_vars(variables) -> Tuple[Any, Any]:
 def create_train_state(cfg: Config, G, D, rng: jax.Array,
                        steps_per_epoch: int,
                        c_vars: Any = None,
-                       bin_anchors: Optional[Tuple] = None) -> TrainState:
+                       bin_anchors: Optional[Tuple] = None,
+                       vgg_vars: Any = None) -> TrainState:
     """Initialize all params/optimizers/pool for the GAN (SURVEY.md SS4.4).
 
     ``bin_anchors`` is (lo, hi) or (lo, hi, bin_means) from
     ``compute_bin_anchors``; the bin means' extremes set the score-mode
     normalization range."""
+    if cfg.train.lambda_vgg > 0 and vgg_vars is None:
+        raise ValueError("--lambda_vgg > 0 needs VGG trunk variables: pass "
+                         "--vgg_path <torchvision vgg19 .pth> (or 'random' "
+                         "for a smoke run)")
     n, s = cfg.data.batch_size, cfg.data.crop_size
     nb = cfg.data.n_age_bins
     cond_nc = cfg.cond_nc
@@ -227,7 +241,10 @@ def create_train_state(cfg: Config, G, D, rng: jax.Array,
         # be donated twice by the jitted step and crash Execute()); the
         # in-step decay ramp ((1+t)/(10+t)) debiases the init
         ema_params=(jax.tree.map(jnp.copy, g_params)
-                    if cfg.train.ema_decay > 0 else None))
+                    if cfg.train.ema_decay > 0 else None),
+        # ADA starts un-augmented (p=0) and ramps up only if D overfits
+        aug_p=(jnp.float32(0.0) if cfg.train.ada_target > 0 else None),
+        vgg_vars=vgg_vars)
 
 
 # --------------------------------------------------------------------------- #
@@ -257,7 +274,22 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
     # OFF (identity AND the unchanged 4-way rng split), not a silent
     # rng-stream change with no augmentation
     use_aug = bool(parse_policy(t.diff_augment))
-    aug = make_diff_augment(t.diff_augment)
+    aug_always = make_diff_augment(t.diff_augment)
+    # --ada_target (ops/diffaug.py make_ada_augment): the policy fires
+    # per-sample with probability state.aug_p instead of always; the step
+    # adapts p in-device from r_t (no host round-trip — TPU-first twin of
+    # StyleGAN2-ADA's every-4-steps host update).
+    use_ada = t.ada_target > 0
+    if use_ada:
+        if not use_aug:
+            raise ValueError("--ada_target needs a non-empty --diff_augment "
+                             "policy to adapt (e.g. color,translation,cutout)")
+        from pcgan_tpu.ops.diffaug import make_ada_augment
+        ada_aug = make_ada_augment(t.diff_augment)
+    # --lambda_vgg (models/vgg.py): pix2pixHD perceptual loss between the
+    # reconstruction and the real image; the trunk variables ride in
+    # state.vgg_vars (frozen, c_vars lifecycle)
+    use_vgg = t.lambda_vgg > 0
 
     def psum_mean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
@@ -276,6 +308,10 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         else:
             r_target, r_drop, r_pool, r_gp = jax.random.split(rng, 4)
             r_aug = None
+        # resolve the augmentation for THIS step: ADA closes over the
+        # current probability scalar; plain DiffAugment is p-independent
+        aug = ((lambda r, x: ada_aug(r, x, state.aug_p)) if use_ada
+               else aug_always)
 
         real_bin = batch["bin"].astype(jnp.int32)
         if score_mode:
@@ -419,9 +455,14 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                 loss = loss + (0.5 * t.lambda_r1) * r1
             else:
                 r1 = jnp.float32(0.0)
-            return loss, (l_real, l_fake, r1, ds2)
+            # ADA overfitting signal from the SAME (augmented) real view D
+            # just scored; stop_gradient keeps it out of the D backward
+            rt = (overfit_heuristic(jax.lax.stop_gradient(pred_real),
+                                    t.gan_mode)
+                  if use_ada else jnp.float32(0.0))
+            return loss, (l_real, l_fake, r1, rt, ds2)
 
-        (d_loss, (l_d_real, l_d_fake, l_d_r1, new_d_state)), d_grads = (
+        (d_loss, (l_d_real, l_d_fake, l_d_r1, d_rt, new_d_state)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_grads = psum_mean(d_grads)
         d_upd, new_d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
@@ -429,6 +470,19 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         # exactly scaling its lr (update = -lr * mhat/(sqrt(vhat)+eps))
         d_upd = jax.tree.map(lambda u: u * state.lr_scale, d_upd)
         new_d_params = optax.apply_updates(state.d_params, d_upd)
+
+        if use_ada:
+            # in-device ADA controller: nudge p toward keeping r_t at the
+            # target — sign step of (global batch)/(ada_kimg*1000) per step,
+            # i.e. p traverses [0,1] in ada_kimg thousand images. r_t is
+            # pmean'd first so every device moves p in lockstep.
+            d_rt = psum_mean(d_rt)
+            n_dev = jax.lax.psum(1, axis_name) if axis_name else 1
+            adj = (jnp.sign(d_rt - t.ada_target)
+                   * (bsz * n_dev / (t.ada_kimg * 1000.0)))
+            new_aug_p = jnp.clip(state.aug_p + adj, 0.0, 1.0)
+        else:
+            new_aug_p = state.aug_p
 
         # ---- G update (vs updated D in 'sequential' reference mode) --------
         d_for_g = new_d_params if mode == "sequential" else state.d_params
@@ -475,11 +529,16 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
                                                     cond_lo, cond_hi)
             else:
                 l_cond = jnp.float32(0.0)
+            if use_vgg:
+                from pcgan_tpu.models.vgg import vgg_perceptual_loss
+                l_vgg = vgg_perceptual_loss(state.vgg_vars, idt, real)
+            else:
+                l_vgg = jnp.float32(0.0)
             loss = (l_gan + t.lambda_L1 * l_l1 + t.lambda_cond * l_cond
-                    + t.lambda_feat * l_feat)
-            return loss, (l_gan, l_l1, l_cond, l_feat)
+                    + t.lambda_feat * l_feat + t.lambda_vgg * l_vgg)
+            return loss, (l_gan, l_l1, l_cond, l_feat, l_vgg)
 
-        (g_loss, (l_g_gan, l_g_l1, l_g_cond, l_g_feat)), dout = (
+        (g_loss, (l_g_gan, l_g_l1, l_g_cond, l_g_feat, l_g_vgg)), dout = (
             jax.value_and_grad(g_out_loss, has_aux=True)(out))
         (g_grads,) = g_vjp(dout)
         g_grads = psum_mean(g_grads)
@@ -513,6 +572,8 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             metrics["loss_D_r1"] = l_d_r1
         if t.lambda_feat > 0:
             metrics["loss_G_feat"] = l_g_feat
+        if use_vgg:
+            metrics["loss_G_vgg"] = l_g_vgg
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts; grads are psum'd BEFORE the
             # wrapper sees them, so every device skips (or not) in lockstep
@@ -520,6 +581,10 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             metrics["notfinite_D"] = new_d_opt.total_notfinite
         metrics = {k: psum_mean(v.astype(jnp.float32))
                    for k, v in metrics.items()}
+        if use_ada:
+            # already device-uniform (d_rt was pmean'd before the update)
+            metrics["ada_p"] = new_aug_p
+            metrics["ada_rt"] = d_rt
         if axis_name:
             # keep running stats (batchnorm) replicated across the data axis
             new_g_state = jax.tree.map(psum_mean, new_g_state)
@@ -528,7 +593,8 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             step=state.step + 1,
             g_params=new_g_params, g_state=new_g_state, g_opt=new_g_opt,
             d_params=new_d_params, d_state=new_d_state, d_opt=new_d_opt,
-            pool=new_pool, rng=state.rng, ema_params=new_ema)
+            pool=new_pool, rng=state.rng, ema_params=new_ema,
+            aug_p=new_aug_p)
         return new_state, metrics
 
     return train_step

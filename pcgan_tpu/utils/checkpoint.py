@@ -103,6 +103,30 @@ def restore_state(state: Any, checkpoints_dir: str, name: str,
             target[key] = fields["g_params"]
             drop.add(key)
             continue
+        if key == "vgg_vars" and meta[key] is not None and tmpl is None:
+            # saved with --lambda_vgg, resumed without: the trunk is frozen
+            # and reconstructible from --vgg_path, so drop it (stand-in
+            # restore against a fresh-init template, then discard)
+            notes.append("checkpoint carries frozen VGG variables but "
+                         "--lambda_vgg is 0: dropping them")
+            from pcgan_tpu.models.vgg import init_vgg_vars
+            target[key] = init_vgg_vars(jax.random.PRNGKey(0))
+            drop.add(key)
+            continue
+        if key == "vgg_vars" and meta[key] is None and tmpl is not None:
+            notes.append("checkpoint has no VGG variables: keeping the "
+                         "freshly loaded ones")
+            target[key] = None
+            drop.add(key)
+            continue
+        if key == "aug_p" and meta[key] is not None and tmpl is None:
+            # saved with --ada_target > 0, resumed without: drop the ADA
+            # probability (stand-in scalar restore, then discard)
+            notes.append("checkpoint carries an ADA probability (aug_p) but "
+                         "--ada_target is 0: dropping it")
+            target[key] = jax.numpy.float32(0.0)
+            drop.add(key)
+            continue
         if meta[key] is None and tmpl is not None:
             if key == "c_vars":
                 notes.append("checkpoint has no comparator variables: "
@@ -114,6 +138,12 @@ def restore_state(state: Any, checkpoints_dir: str, name: str,
                 notes.append("checkpoint has no EMA twin but --ema_decay > "
                              "0: seeding EMA from the restored G params")
                 fill_ema = True
+                drop.add(key)
+                target[key] = None
+                continue
+            if key == "aug_p":
+                notes.append("checkpoint has no ADA probability but "
+                             "--ada_target > 0: keeping the fresh-init p")
                 drop.add(key)
                 target[key] = None
                 continue

@@ -137,6 +137,19 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         c_vars, bin_anchors = _load_comparator(cfg)
         print(f"loaded frozen comparator from {cfg.train.comparator_path}",
               flush=True)
+    vgg_vars = None
+    if cfg.train.lambda_vgg > 0:
+        from pcgan_tpu.models.vgg import init_vgg_vars, load_vgg_vars
+        if cfg.train.vgg_path == "random":
+            vgg_vars = init_vgg_vars(jax.random.PRNGKey(0))
+            print("WARNING: --vgg_path random — perceptual loss runs in "
+                  "FRESH-INIT VGG feature space (smoke/CI only; point "
+                  "--vgg_path at a torchvision vgg19 .pth for the published "
+                  "pix2pixHD loss)", flush=True)
+        elif cfg.train.vgg_path:
+            vgg_vars = load_vgg_vars(cfg.train.vgg_path)
+            print(f"loaded VGG19 trunk from {cfg.train.vgg_path}", flush=True)
+        # empty path: create_train_state raises with the actionable message
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     # pool must divide the data axis
@@ -148,7 +161,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, pool_size=pool))
     state = create_train_state(cfg, G, D, rng, steps_per_epoch,
-                               c_vars=c_vars, bin_anchors=bin_anchors)
+                               c_vars=c_vars, bin_anchors=bin_anchors,
+                               vgg_vars=vgg_vars)
     from pcgan_tpu.utils.summary import print_networks
     print_networks({"G": state.g_params, "D": state.d_params,
                     "C (frozen)": c_vars["params"] if c_vars else None},
