@@ -311,6 +311,15 @@ class RunConfig:
     # face and its age-translated output, from the same eval pass — the
     # label-free identity-drift proxy face-aging papers report
     ssim: bool = False
+    # LPIPS perceptual identity drift (ops/lpips.py, Zhang 2018): mean
+    # lpips-vgg distance between each input face and its aged output, from
+    # the same eval pass — the CALIBRATED perceptual twin of --ssim (lower
+    # = closer). Needs a VGG16 trunk (--lpips_vgg16); --lpips_lins adds the
+    # package's learned calibration (uniform 1/C fallback otherwise,
+    # printed as 'lpips (uniform-lin)'). Beyond-reference opt-in.
+    lpips: bool = False
+    lpips_vgg16: str = ""            # torchvision vgg16 .pth | 'random'
+    lpips_lins: str = ""             # lpips-package LPIPS(net='vgg') .pth
     # per-age-bin conditional FID: FID between bin-b reals and bin-b-targeted
     # fakes for every bin (the per-age-group breakdown aging papers report;
     # a good marginal FID can hide a collapsed extreme age). onehot mode
@@ -473,6 +482,9 @@ _FLAG_MAP = {
     "prdc": ("run", "prdc"),
     "prdc_k": ("run", "prdc_k"),
     "ssim": ("run", "ssim"),
+    "lpips": ("run", "lpips"),
+    "lpips_vgg16": ("run", "lpips_vgg16"),
+    "lpips_lins": ("run", "lpips_lins"),
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
     "compile_cache": ("run", "compile_cache"),
@@ -577,6 +589,14 @@ _FLAG_HELP = {
             "Beyond-reference opt-in",
     "prdc_k": "with --prdc: k-NN neighborhood size (needs eval budget > k "
               "per side; 5 = the reference prdc package default)",
+    "lpips": "also report mean lpips-vgg distance between each input face "
+             "and its aged output (Zhang 2018) — the calibrated perceptual "
+             "twin of --ssim, from the same eval pass; needs --lpips_vgg16",
+    "lpips_vgg16": "VGG16 trunk for --lpips: torchvision vgg16 .pth, or "
+                   "'random' (fresh-init features, smoke/CI only)",
+    "lpips_lins": "optional lpips-package LPIPS(net='vgg') .pth carrying "
+                  "the learned per-channel calibration; omitted = uniform "
+                  "1/C weighting (reported as lpips (uniform-lin))",
     "ssim": "also report mean SSIM between each input face and its "
             "age-translated output — the label-free identity-preservation "
             "proxy (Wang 2004 protocol: 11x11 Gaussian window, valid conv, "

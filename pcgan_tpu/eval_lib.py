@@ -52,6 +52,28 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     per_bin = cfg.run.fid_per_bin
     prdc_on = cfg.run.prdc
     ssim_on = cfg.run.ssim
+    lpips_on = cfg.run.lpips
+    lpips_vars = lpips_lins = None
+    if lpips_on:
+        # --lpips (ops/lpips.py): calibrated perceptual identity drift from
+        # the same pass. Trunk + calibration load once, host-side.
+        from pcgan_tpu.models.vgg import init_vgg16_vars, load_vgg16_vars
+        if cfg.run.lpips_vgg16 == "random":
+            lpips_vars = init_vgg16_vars(jax.random.PRNGKey(0))
+            print("WARNING: --lpips_vgg16 random — LPIPS runs in FRESH-INIT "
+                  "VGG16 feature space (smoke/CI only)", flush=True)
+        elif cfg.run.lpips_vgg16:
+            lpips_vars = load_vgg16_vars(cfg.run.lpips_vgg16)
+        else:
+            raise ValueError("--lpips needs --lpips_vgg16 <torchvision "
+                             "vgg16 .pth> (or 'random' for a smoke run)")
+        if cfg.run.lpips_lins:
+            from pcgan_tpu.ops.lpips import load_lpips_lins
+            lpips_lins = load_lpips_lins(cfg.run.lpips_lins)
+        else:
+            print("--lpips: no --lpips_lins given — uniform 1/C channel "
+                  "weighting (a valid perceptual distance, NOT the "
+                  "published LPIPS calibration)", flush=True)
     if per_bin and score_mode:
         raise ValueError("--fid_per_bin needs discrete age bins "
                          "(cond_mode=onehot); score mode has no bins")
@@ -118,7 +140,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
 
     @jax.jit
     def eval_batch(g_vars, real_u8, bins, perm, r_stats, f_stats, hits, n,
-                   bufs, ssim_sum):
+                   bufs, ssim_sum, lpips_sum):
         from pcgan_tpu.data.binning import bin_to_score, normalize_score
         # PRNGKey(0) is deliberate: the eval transform (train=False) is a
         # deterministic center crop with no flip, so the key is never
@@ -171,9 +193,17 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             from pcgan_tpu.ops.ssim import ssim_pair
             ssim_sum = ssim_sum + jnp.sum(
                 ssim_pair(real, fake.astype(jnp.float32)))
+        if lpips_on:
+            # calibrated perceptual identity drift (--lpips, ops/lpips.py):
+            # same input/aged pairing as --ssim, same pass
+            from pcgan_tpu.ops.lpips import lpips_pair
+            lpips_sum = lpips_sum + jnp.sum(
+                lpips_pair(lpips_vars, real, fake.astype(jnp.float32),
+                           lpips_lins))
         # keep the streaming stats replicated: the per-shard partial sums
         # all-reduce here (the 'psum' of the shard_map design, GSPMD-derived)
-        return _constrain_repl((r_stats, f_stats, hits, n, bufs, ssim_sum))
+        return _constrain_repl((r_stats, f_stats, hits, n, bufs, ssim_sum,
+                                lpips_sum))
 
     def _put_batch(v):
         if isinstance(v, jax.Array):
@@ -195,11 +225,14 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         hits = jnp.zeros((), jnp.int32)
         n = jnp.zeros((), jnp.int32)
         ssim_sum = jnp.zeros((), jnp.float32)
+        lpips_sum = jnp.zeros((), jnp.float32)
         if mesh is not None:
             from pcgan_tpu.parallel.mesh import replicated
             rep = replicated(mesh)
-            g_vars, r_stats, f_stats, hits, n, ssim_sum = jax.device_put(
-                (g_vars, r_stats, f_stats, hits, n, ssim_sum), rep)
+            (g_vars, r_stats, f_stats, hits, n, ssim_sum,
+             lpips_sum) = jax.device_put(
+                (g_vars, r_stats, f_stats, hits, n, ssim_sum, lpips_sum),
+                rep)
         rng = np.random.default_rng(seed)
         # multi-process: each host's loader yields its DISJOINT per-host
         # slice and put_global_batch assembles the global batch, so the
@@ -238,9 +271,10 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                     f"the first batch); feed fixed-size batches")
             perm = _local_perm_slice(rng, raw["image"].shape[0],
                                      n_proc, proc_idx)
-            r_stats, f_stats, hits, n, bufs, ssim_sum = eval_batch(
+            r_stats, f_stats, hits, n, bufs, ssim_sum, lpips_sum = eval_batch(
                 g_vars, _put_batch(raw["image"]), _put_batch(raw["bin"]),
-                _put_batch(perm), r_stats, f_stats, hits, n, bufs, ssim_sum)
+                _put_batch(perm), r_stats, f_stats, hits, n, bufs, ssim_sum,
+                lpips_sum)
             seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
@@ -255,6 +289,8 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                    "fid_images": seen}
         if ssim_on and seen:
             out["ssim"] = float(ssim_sum) / seen
+        if lpips_on and seen:
+            out["lpips"] = float(lpips_sum) / seen
         if bufs is not None:
             count = min(int(bufs[4]), bufs[0].shape[0])
             if kid_on and count >= 2:
