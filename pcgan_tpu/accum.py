@@ -151,6 +151,15 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
         if not use_aug:
             raise ValueError("--ada_target needs a non-empty --diff_augment "
                              "policy to adapt (e.g. color,translation,cutout)")
+        if t.gan_mode == "wgangp":
+            # same rejection as the fused step (train.py): a critic's
+            # output level is translation-invariant, r_t is undefined
+            raise ValueError("--ada_target is undefined for --gan_mode "
+                             "wgangp (the critic's output level is "
+                             "translation-invariant, so the overfitting "
+                             "heuristic r_t measures drift, not "
+                             "overfitting); use lsgan/vanilla/hinge, or "
+                             "plain --diff_augment without ADA")
         from pcgan_tpu.ops.diffaug import make_ada_augment
         ada_aug = make_ada_augment(t.diff_augment)
     use_vgg = t.lambda_vgg > 0   # same wiring as the fused step
@@ -392,9 +401,6 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             metrics["loss_G_feat"] = g_sums[4] / n
         if use_vgg:
             metrics["loss_G_vgg"] = g_sums[5] / n
-        if use_ada:
-            metrics["ada_p"] = new_aug_p
-            metrics["ada_rt"] = d_rt
         if t.skip_nonfinite > 0:
             # cumulative skipped-update counts from the apply_if_finite
             # wrapper make_optimizer added (same lever as the fused step)
@@ -403,6 +409,11 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             metrics["notfinite_D"] = new_d_opt.total_notfinite.astype(
                 jnp.float32)
         metrics = {k: psum_mean(v) for k, v in metrics.items()}
+        if use_ada:
+            # already device-uniform (d_rt was pmean'd before the update) —
+            # placed after the reduce like the fused step
+            metrics["ada_p"] = new_aug_p
+            metrics["ada_rt"] = d_rt
         if axis_name:
             new_g_state = jax.tree.map(psum_mean, new_g_state)
             new_d_state = jax.tree.map(psum_mean, new_d_state)

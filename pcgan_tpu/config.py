@@ -316,7 +316,8 @@ class RunConfig:
     # the same eval pass — the CALIBRATED perceptual twin of --ssim (lower
     # = closer). Needs a VGG16 trunk (--lpips_vgg16); --lpips_lins adds the
     # package's learned calibration (uniform 1/C fallback otherwise,
-    # printed as 'lpips (uniform-lin)'). Beyond-reference opt-in.
+    # reported under the distinct 'lpips_uniform' key). Beyond-reference
+    # opt-in.
     lpips: bool = False
     lpips_vgg16: str = ""            # torchvision vgg16 .pth | 'random'
     lpips_lins: str = ""             # lpips-package LPIPS(net='vgg') .pth
@@ -596,7 +597,8 @@ _FLAG_HELP = {
                    "'random' (fresh-init features, smoke/CI only)",
     "lpips_lins": "optional lpips-package LPIPS(net='vgg') .pth carrying "
                   "the learned per-channel calibration; omitted = uniform "
-                  "1/C weighting (reported as lpips (uniform-lin))",
+                  "1/C weighting, reported under the distinct key "
+                  "'lpips_uniform' (not comparable to published LPIPS)",
     "ssim": "also report mean SSIM between each input face and its "
             "age-translated output — the label-free identity-preservation "
             "proxy (Wang 2004 protocol: 11x11 Gaussian window, valid conv, "

@@ -70,10 +70,16 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         if cfg.run.lpips_lins:
             from pcgan_tpu.ops.lpips import load_lpips_lins
             lpips_lins = load_lpips_lins(cfg.run.lpips_lins)
+            lpips_key = "lpips"
         else:
+            # the uniform fallback is NOT comparable to published LPIPS
+            # numbers — report it under its own key so downstream data
+            # (metrics.jsonl, compare_runs) can never be misread
+            lpips_key = "lpips_uniform"
             print("--lpips: no --lpips_lins given — uniform 1/C channel "
                   "weighting (a valid perceptual distance, NOT the "
-                  "published LPIPS calibration)", flush=True)
+                  "published LPIPS calibration); reported as "
+                  "'lpips_uniform'", flush=True)
     if per_bin and score_mode:
         raise ValueError("--fid_per_bin needs discrete age bins "
                          "(cond_mode=onehot); score mode has no bins")
@@ -290,7 +296,7 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         if ssim_on and seen:
             out["ssim"] = float(ssim_sum) / seen
         if lpips_on and seen:
-            out["lpips"] = float(lpips_sum) / seen
+            out[lpips_key] = float(lpips_sum) / seen
         if bufs is not None:
             count = min(int(bufs[4]), bufs[0].shape[0])
             if kid_on and count >= 2:

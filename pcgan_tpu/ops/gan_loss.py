@@ -69,8 +69,11 @@ def overfit_heuristic(pred_real, mode: str = "lsgan") -> jnp.ndarray:
     +1 when D confidently separates every real patch (overfitting), ~0 at
     equilibrium. ``mid`` is the mode's decision midpoint: 0.5 for lsgan
     (D regresses real->1 / fake->0), 0 for the logit-output modes
-    (vanilla/hinge/wgangp). The multiscale tuple averages per-scale means
-    (the gan_loss convention), keeping r_t's scale invariant to --num_D."""
+    (vanilla/hinge). NOT meaningful for wgangp — a critic's output level
+    is translation-invariant, so sign(D(real)) measures arbitrary drift;
+    the step builders reject that combination. The multiscale tuple
+    averages per-scale means (the gan_loss convention), keeping r_t's
+    scale invariant to --num_D."""
     if isinstance(pred_real, (tuple, list)):
         per = [overfit_heuristic(p, mode) for p in pred_real]
         return sum(per) / len(per)

@@ -16,8 +16,9 @@ Protocol fidelity (vs the reference ``lpips`` package):
 - ``lins`` are the package's learned 1x1 non-negative conv weights, imported
   from an ``LPIPS(net='vgg')`` state_dict (``lin<k>.model.1.weight``). With
   no weights on disk the fallback is UNIFORM 1/C_l weighting — a valid
-  perceptual distance but NOT the published calibration; callers label it
-  (the CLIs print a notice).
+  perceptual distance but NOT the published calibration; eval_lib reports
+  it under the distinct ``lpips_uniform`` key so the data itself can never
+  be misread as calibrated LPIPS.
 
 TPU-first: everything is elementwise/reduction work that XLA fuses into the
 five conv stages; no gathers, static shapes, f32 accumulation.

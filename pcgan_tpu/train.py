@@ -284,6 +284,17 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
         if not use_aug:
             raise ValueError("--ada_target needs a non-empty --diff_augment "
                              "policy to adapt (e.g. color,translation,cutout)")
+        if t.gan_mode == "wgangp":
+            # the critic's output level is translation-invariant (only
+            # E[D(real)]-E[D(fake)] is constrained), so sign(D(real)) pins
+            # at +-1 from arbitrary drift — r_t would not measure
+            # overfitting and p would ramp to 0 or 1 permanently
+            raise ValueError("--ada_target is undefined for --gan_mode "
+                             "wgangp (the critic's output level is "
+                             "translation-invariant, so the overfitting "
+                             "heuristic r_t measures drift, not "
+                             "overfitting); use lsgan/vanilla/hinge, or "
+                             "plain --diff_augment without ADA")
         from pcgan_tpu.ops.diffaug import make_ada_augment
         ada_aug = make_ada_augment(t.diff_augment)
     # --lambda_vgg (models/vgg.py): pix2pixHD perceptual loss between the

@@ -38,6 +38,12 @@ def save(state: Any, checkpoints_dir: str, name: str, tag: str = "latest",
          wait: bool = False) -> str:
     path = _dir(checkpoints_dir, name, tag)
     c = _ckpt()
+    # the frozen VGG trunk (--lambda_vgg) is a pure function of --vgg_path:
+    # ~43 MB of reconstructible constants per checkpoint, stripped here and
+    # re-attached by the CLI on resume (restore_state keeps the freshly
+    # loaded ones when the file carries None)
+    if getattr(state, "vgg_vars", None) is not None:
+        state = state.replace(vgg_vars=None)
     # snapshot to host first: orbax's StandardCheckpointer saves async, and
     # the train step DONATES its state buffers — serializing device arrays
     # in-flight would read freed memory once the next step runs

@@ -60,7 +60,8 @@ def _fmt(v: float) -> str:
 
 def render_loss_svg(records: Sequence[Dict], keys: Optional[Sequence[str]] = None,
                     width: int = 960, height: int = 400,
-                    title: str = "training losses") -> str:
+                    title: str = "training losses",
+                    x_label: str = "step") -> str:
     """Render loss series to an SVG string. ``records`` are metrics.jsonl
     rows (must contain ``step``); ``keys`` defaults to every numeric
     non-bookkeeping key present."""
@@ -114,7 +115,7 @@ def render_loss_svg(records: Sequence[Dict], keys: Optional[Sequence[str]] = Non
         parts.append(f"<text x='{px:.1f}' y='{height - 12}' "
                      f"text-anchor='middle'>{int(gx)}</text>")
     parts.append(f"<text x='{ml + pw // 2}' y='{height - 1}' "
-                 "text-anchor='middle'>step</text>")
+                 f"text-anchor='middle'>{x_label}</text>")
 
     for i, k in enumerate(keys):
         color = _COLORS[i % len(_COLORS)]

@@ -130,6 +130,21 @@ def test_step_requires_policy_with_ada():
         make_train_step(cfg, G, D)
 
 
+def test_step_rejects_ada_with_wgangp():
+    """A critic's output level is translation-invariant: r_t would measure
+    drift, not overfitting — both builders must refuse loudly."""
+    from pcgan_tpu.accum import make_accum_train_step
+    from pcgan_tpu.models import define_D, define_G
+    from pcgan_tpu.train import make_train_step
+    cfg = _cfg(gan_mode="wgangp")
+    G, D = define_G(cfg), define_D(cfg)
+    with pytest.raises(ValueError, match="wgangp"):
+        make_train_step(cfg, G, D)
+    cfg_a = _cfg(gan_mode="wgangp", grad_accum=2)
+    with pytest.raises(ValueError, match="wgangp"):
+        make_accum_train_step(cfg_a, G, D)
+
+
 def test_step_p_follows_exact_controller_recurrence():
     """The streamed ada_p must satisfy p' = clip(p + sign(rt-target)*inc)
     step over step — the controller is pinned, not just 'p moved'."""

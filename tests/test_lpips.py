@@ -146,13 +146,15 @@ def test_eval_lib_reports_lpips_and_shards_match():
 
     single = make_fid_evaluator(cfg, G)(g_vars, batches(), max_images=32,
                                         seed=1)
-    assert "lpips" in single and np.isfinite(single["lpips"])
-    assert single["lpips"] > 0   # random-init G destroys the input
+    # no --lpips_lins -> the distinct uncalibrated key, never plain 'lpips'
+    assert "lpips_uniform" in single and "lpips" not in single
+    assert np.isfinite(single["lpips_uniform"])
+    assert single["lpips_uniform"] > 0   # random-init G destroys the input
     mesh = make_mesh((-1,), ("data",))
     if mesh.devices.size > 1:
         sharded = make_fid_evaluator(cfg, G, mesh=mesh)(
             g_vars, batches(), max_images=32, seed=1)
-        assert abs(sharded["lpips"] - single["lpips"]) < 1e-5
+        assert abs(sharded["lpips_uniform"] - single["lpips_uniform"]) < 1e-5
 
 
 def test_lpips_requires_trunk():

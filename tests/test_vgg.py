@@ -172,7 +172,11 @@ def test_accum_matches_fused_vgg_metric():
         float(ma["loss_G_vgg"]), rel=1e-4)
 
 
-def test_ckpt_toggle_vgg_both_directions(tmp_path, capsys):
+def test_ckpt_strips_vgg_and_toggles_cleanly(tmp_path, capsys):
+    """Checkpoints never serialize the reconstructible trunk (~43 MB of
+    constants): save() strips it to None; the CLI re-attaches on resume
+    (restore_state keeps the template's freshly loaded vars). Legacy
+    checkpoints that DO carry a trunk still drop it with a notice."""
     from pcgan_tpu.models import define_D, define_G
     from pcgan_tpu.train import create_train_state
     from pcgan_tpu.utils import checkpoint as ckpt
@@ -181,22 +185,39 @@ def test_ckpt_toggle_vgg_both_directions(tmp_path, capsys):
     G, D = define_G(cfg_on), define_D(cfg_on)
     vv = init_vgg_vars(jax.random.PRNGKey(9), size=cfg_on.data.crop_size)
 
-    # saved WITH vgg, resumed without -> dropped with a notice
+    # save WITH vgg: the file carries None; params survive; both resume
+    # directions work (off: None; on: freshly loaded vars kept + notice)
     s_on = create_train_state(cfg_on, G, D, jax.random.PRNGKey(0), 10,
                               vgg_vars=vv)
     ckpt.save(s_on, str(tmp_path), "run_a", wait=True)
     s_off = create_train_state(cfg_off, G, D, jax.random.PRNGKey(1), 10)
     restored = ckpt.restore_state(s_off, str(tmp_path), "run_a")
     assert restored.vgg_vars is None
-    assert "dropping them" in capsys.readouterr().out
-
-    # saved WITHOUT vgg, resumed with -> freshly loaded ones kept
-    s_off2 = create_train_state(cfg_off, G, D, jax.random.PRNGKey(2), 10)
-    ckpt.save(s_off2, str(tmp_path), "run_b", wait=True)
+    l0 = jax.tree_util.tree_leaves(s_on.g_params)[0]
+    l1 = jax.tree_util.tree_leaves(restored.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     s_on2 = create_train_state(cfg_on, G, D, jax.random.PRNGKey(3), 10,
                                vgg_vars=vv)
-    restored2 = ckpt.restore_state(s_on2, str(tmp_path), "run_b")
-    l0 = jax.tree_util.tree_leaves(vv)[0]
-    l1 = jax.tree_util.tree_leaves(restored2.vgg_vars)[0]
-    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    restored2 = ckpt.restore_state(s_on2, str(tmp_path), "run_a")
+    f0 = jax.tree_util.tree_leaves(vv)[0]
+    f1 = jax.tree_util.tree_leaves(restored2.vgg_vars)[0]
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     assert "freshly loaded" in capsys.readouterr().out
+    # ... and save() left the live state untouched
+    assert s_on.vgg_vars is not None
+
+    # LEGACY checkpoint that carries a trunk (written via orbax directly,
+    # bypassing the strip), resumed without vgg -> dropped with a notice
+    import dataclasses
+    import orbax.checkpoint as ocp
+    legacy = {f.name: getattr(s_on, f.name)
+              for f in dataclasses.fields(s_on)}
+    c = ocp.StandardCheckpointer()
+    import os
+    c.save(os.path.join(str(tmp_path), "run_b", "latest"),
+           jax.device_get(legacy), force=True)
+    c.wait_until_finished()
+    s_off2 = create_train_state(cfg_off, G, D, jax.random.PRNGKey(2), 10)
+    restored3 = ckpt.restore_state(s_off2, str(tmp_path), "run_b")
+    assert restored3.vgg_vars is None
+    assert "dropping them" in capsys.readouterr().out

@@ -44,11 +44,9 @@ def comparison_svg(series, key: str, x_key: str = "step",
                 merged.append({"step": float(r[x_key]),
                                name: float(r[key])})
     merged.sort(key=lambda r: r["step"])
-    svg = render_loss_svg(merged, keys=keys, width=width, height=height,
-                          title=f"{key} across runs (x = {x_key})")
-    if x_key != "step":
-        svg = svg.replace(">step</text>", f">{x_key}</text>")
-    return svg
+    return render_loss_svg(merged, keys=keys, width=width, height=height,
+                           title=f"{key} across runs (x = {x_key})",
+                           x_label=x_key)
 
 
 def main(argv=None):
