@@ -106,6 +106,11 @@ class ModelConfig:
     # parity. u/sigma live in d_state (batch_stats) — the D PARAM tree is
     # unchanged, so SN/non-SN checkpoints cross-load at the params level.
     spectral_norm: bool = False
+    # one SAGAN self-attention block mid-trunk of the resnet G (Zhang 2019):
+    # global context at the bottleneck resolution — long-range dependencies
+    # a 3x3 stack only reaches through depth. gamma starts 0 (exact identity
+    # at init). resnet generators only; beyond-reference opt-in, off = parity.
+    g_attn: bool = False
     init_type: str = "normal"        # normal | xavier | kaiming | orthogonal
     init_gain: float = 0.02
     no_dropout: bool = True
@@ -415,6 +420,7 @@ _FLAG_MAP = {
     "num_D": ("model", "num_D"),
     "norm": ("model", "norm"),
     "spectral_norm": ("model", "spectral_norm"),
+    "g_attn": ("model", "g_attn"),
     "init_type": ("model", "init_type"),
     "init_gain": ("model", "init_gain"),
     "no_dropout": ("model", "no_dropout"),
@@ -627,6 +633,10 @@ _FLAG_HELP = {
                     "lever for small datasets (Zhao et al. 2020). L1/"
                     "comparator losses keep raw images. Beyond-reference "
                     "opt-in; '' = off = parity",
+    "g_attn": "add one SAGAN self-attention block mid-trunk of the resnet "
+              "generator (Zhang 2019): global context at the bottleneck "
+              "resolution; gamma starts 0 so init is an exact identity. "
+              "resnet G only. Beyond-reference opt-in; off = parity",
     "lambda_vgg": "pix2pixHD VGG19 perceptual loss between the "
                   "reconstruction and the real image (weighted L1 over the "
                   "five relu taps; published weight 10). Needs --vgg_path. "

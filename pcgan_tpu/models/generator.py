@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -75,6 +76,49 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class SelfAttention(nn.Module):
+    """SAGAN self-attention (Zhang et al. 2019, ``--g_attn`` —
+    beyond-reference opt-in; SURVEY.md SS2 C6 lists only conv generators).
+
+    One global-context block at the bottleneck resolution: long-range
+    dependencies (left eye ages like the right eye) that a 3x3 conv stack
+    only reaches through depth. TPU shape: everything is 1x1 convs plus two
+    batched matmuls over the flattened spatial axis — pure MXU work; the
+    key/value branches max-pool 2x (the SAGAN memory trim), so at a 64x64
+    bottleneck the attention matrix is 4096x1024 per sample. Softmax runs
+    in f32 on the bf16 path (4k-term reductions). ``gamma`` starts at 0 —
+    the block is an exact identity at init, so training starts from the
+    plain resnet and grows the attention contribution.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"SelfAttention needs even spatial dims for the "
+                             f"pooled key/value branches, got {h}x{w}")
+        k8, k2 = max(self.dim // 8, 1), max(self.dim // 2, 1)
+        kw = dict(dtype=self.dtype, kernel_init=self.kernel_init,
+                  use_bias=False)
+        q = nn.Conv(k8, (1, 1), name="theta", **kw)(x)
+        k = nn.max_pool(nn.Conv(k8, (1, 1), name="phi", **kw)(x),
+                        (2, 2), strides=(2, 2))
+        v = nn.max_pool(nn.Conv(k2, (1, 1), name="g", **kw)(x),
+                        (2, 2), strides=(2, 2))
+        logits = jnp.einsum("nqc,nkc->nqk", q.reshape(n, h * w, k8),
+                            k.reshape(n, -1, k8)).astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("nqk,nkc->nqc", attn,
+                       v.reshape(n, -1, k2)).reshape(n, h, w, k2)
+        o = nn.Conv(self.dim, (1, 1), name="o", **kw)(o)
+        gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
+        return x + gamma.astype(x.dtype) * o
+
+
 class ResnetGenerator(nn.Module):
     output_nc: int = 3
     ngf: int = 64
@@ -96,6 +140,9 @@ class ResnetGenerator(nn.Module):
     # practice: the image-edge layers are the quality-sensitive ones and
     # hold <3% of the FLOPs). Inference-only NON-parity serving lever.
     quant_trunk: bool = False
+    # --g_attn: one SAGAN self-attention block mid-trunk (beyond-reference
+    # quality lever; off = parity). gamma starts 0 = exact identity at init.
+    g_attn: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -166,6 +213,12 @@ class ResnetGenerator(nn.Module):
                           dtype=self.dtype, kernel_init=self.kernel_init,
                           quant=self.quant_trunk,
                           name=f"ResnetBlock_{bi}")(h, train)
+            if self.g_attn and bi == self.n_blocks // 2 - 1:
+                # mid-trunk global-context block (--g_attn): placed between
+                # the residual blocks at the bottleneck resolution
+                h = SelfAttention(self.ngf * mult, dtype=self.dtype,
+                                  kernel_init=self.kernel_init,
+                                  name="attn")(h)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

@@ -65,14 +65,21 @@ def define_G(cfg: Config) -> nn.Module:
                                remat=cfg.model.remat,
                                remat_blocks=cfg.model.remat_blocks,
                                lowch_matmul=cfg.model.lowch_matmul,
+                               g_attn=cfg.model.g_attn,
                                quant_trunk=cfg.model.quant_int8, **kw)
     if base == "resnet_6blocks":
         return ResnetGenerator(n_blocks=6, upsample=variant or "deconv",
                                remat=cfg.model.remat,
                                remat_blocks=cfg.model.remat_blocks,
                                lowch_matmul=cfg.model.lowch_matmul,
+                               g_attn=cfg.model.g_attn,
                                quant_trunk=cfg.model.quant_int8, **kw)
     if base.startswith("unet_"):
+        if cfg.model.g_attn:
+            raise NotImplementedError(
+                "--g_attn is a resnet-generator lever (the unet's recursive "
+                "skip structure has no single bottleneck trunk to host it); "
+                "use --netG resnet_9blocks/resnet_6blocks")
         # template naming: unet_<image size>, num_downs = log2(size)
         # (no lowch_matmul dial here: the unet stem is a 4x4 s2 conv whose
         # tap count already fills MXU lanes — the tap-matmul reformulation
