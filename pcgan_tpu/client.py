@@ -106,6 +106,12 @@ class ServingClient:
         return self._request("/progression_image", image_bytes,
                              "application/octet-stream")
 
+    def progression_gif(self, image_bytes: bytes, frames: int = 24) -> bytes:
+        """Raw JPEG/PNG bytes in, looping animated GIF of the SMOOTH aging
+        sweep out (the serving twin of ``test.py --anim``)."""
+        return self._request(f"/progression_gif?frames={int(frames)}",
+                             image_bytes, "application/octet-stream")
+
     def reload(self, artifact_dir: Optional[str] = None) -> dict:
         """Hot-swap the served artifact (empty = re-read the current dir);
         returns the host's JSON ({"status": "reloaded", ...}). The host

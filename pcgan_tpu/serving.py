@@ -282,15 +282,44 @@ class ServedGenerator:
             return np.linspace(-1.0, 1.0, nb, dtype=np.float32)[:, None]
         return np.eye(nb, dtype=np.float32)
 
+    def sweep_conditions(self, n_frames: int) -> np.ndarray:
+        """(n_frames, cond_nc) SMOOTH condition sweep for animations:
+        score mode sweeps the normalized [-1, 1] range; onehot mode
+        linearly blends adjacent bins' one-hots (rows sum to 1; frames
+        landing exactly on a bin ARE that bin's one-hot — the
+        data/binning.py interp_bins_onehot semantics, reimplemented in
+        numpy so serving hosts stay jax+numpy-only)."""
+        if n_frames < 2:
+            raise ValueError(f"n_frames must be >= 2, got {n_frames}")
+        nb = int(self.meta["n_age_bins"])
+        if self.meta["cond_mode"] == "score":
+            return np.linspace(-1.0, 1.0, n_frames,
+                               dtype=np.float32)[:, None]
+        p = np.linspace(0.0, float(nb - 1), n_frames)
+        lo = np.clip(np.floor(p).astype(np.int32), 0, nb - 1)
+        hi = np.clip(lo + 1, 0, nb - 1)
+        frac = (p - lo).astype(np.float32)[:, None]
+        eye = np.eye(nb, dtype=np.float32)
+        return (1.0 - frac) * eye[lo] + frac * eye[hi]
+
     def progression(self, images: np.ndarray, call=None) -> np.ndarray:
         """Aging grid (B, n_conditions, H, W, C). ``call`` overrides the
         generator invocation (e.g. a serving host's coalescing dispatch)
         so the repeat/tile pairing has ONE source of truth."""
+        return self._sweep(images, self.all_conditions(), call)
+
+    def animation(self, images: np.ndarray, n_frames: int = 24,
+                  call=None) -> np.ndarray:
+        """Smooth aging sweep (B, n_frames, H, W, C) — the serving twin of
+        ``test.py --anim`` (frames on a bin match the progression grid)."""
+        return self._sweep(images, self.sweep_conditions(n_frames), call)
+
+    def _sweep(self, images: np.ndarray, conds: np.ndarray,
+               call=None) -> np.ndarray:
         call = self if call is None else call
         images = np.asarray(images, np.float32)
         if images.ndim != 4:
             raise ValueError("expected images (B,H,W,C)")
-        conds = self.all_conditions()
         nb = conds.shape[0]
         b = images.shape[0]
         x = np.repeat(images, nb, axis=0)

@@ -667,3 +667,79 @@ def test_http_image_endpoints(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_sweep_conditions_and_animation(tmp_path):
+    """ServedGenerator.sweep_conditions matches the training-side
+    interp_bins_onehot semantics (frames on a bin ARE the bin) and
+    .animation's on-bin frames equal the progression grid's columns."""
+    from pcgan_tpu.data.binning import interp_bins_onehot
+    from pcgan_tpu.serving import export_generator, load_exported
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    srv = load_exported(str(tmp_path))
+    nb = cfg.data.n_age_bins
+    # n_frames = 2*(nb-1)+1 puts every other frame exactly on a bin
+    t = 2 * (nb - 1) + 1
+    sweep = srv.sweep_conditions(t)
+    np.testing.assert_allclose(
+        sweep, np.asarray(interp_bins_onehot(nb, t)), atol=1e-7)
+    imgs = np.random.default_rng(0).uniform(
+        -1, 1, (1, 32, 32, 3)).astype(np.float32)
+    anim = srv.animation(imgs, t)
+    grid = srv.progression(imgs)
+    assert anim.shape == (1, t, 32, 32, 3)
+    for b in range(nb):   # frame 2b sits exactly on bin b
+        np.testing.assert_array_equal(anim[0, 2 * b], grid[0, b])
+    with pytest.raises(ValueError, match="n_frames"):
+        srv.sweep_conditions(1)
+    # score-mode sweep: plain linspace column
+    cfg_s = _tiny_cfg(cond_mode="score")
+    G2, v2 = _init_g(cfg_s)
+    d2 = str(tmp_path / "score")
+    export_generator(cfg_s, v2, d2, G=G2)
+    srv2 = load_exported(d2)
+    np.testing.assert_allclose(
+        srv2.sweep_conditions(5)[:, 0], np.linspace(-1, 1, 5), atol=1e-7)
+
+
+def test_http_progression_gif(tmp_path):
+    """/progression_gif: raw image in, looping animated GIF out with the
+    requested frame count; bad frame counts 400."""
+    import io
+    import threading
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from PIL import Image
+    from pcgan_tpu.client import ServingClient, ServingError
+    from pcgan_tpu.serving import export_generator
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    raw = np.random.default_rng(1).integers(0, 256, (40, 40, 3),
+                                            dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(raw).save(buf, "PNG")
+    png_in = buf.getvalue()
+    try:
+        c = ServingClient(f"http://127.0.0.1:{port}", timeout=120)
+        gif = c.progression_gif(png_in, frames=6)
+        im = Image.open(io.BytesIO(gif))
+        assert im.format == "GIF" and getattr(im, "is_animated", False)
+        assert im.n_frames == 6
+        assert im.size == (cfg.data.crop_size, cfg.data.crop_size)
+        assert im.info.get("loop", None) == 0   # loops forever
+        for bad in (1, 1000):
+            with pytest.raises(ServingError) as ei:
+                c.progression_gif(png_in, frames=bad)
+            assert ei.value.status == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

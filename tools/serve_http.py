@@ -18,6 +18,10 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
     POST /progression_image
                        body: raw JPEG/PNG bytes -> PNG strip
                        [input | aged@cond_0 | ... | aged@cond_{K-1}]
+    POST /progression_gif?frames=N
+                       body: raw JPEG/PNG bytes -> looping animated GIF of
+                       the SMOOTH aging sweep (default 24 frames; the
+                       serving twin of test.py --anim)
     GET  /healthz      -> JSON artifact metadata
     GET  /metrics      -> Prometheus text format (scrape-ready counters)
     POST /reload       body: JSON {"artifact_dir": path} (or empty = re-read
@@ -109,6 +113,18 @@ def _png_bytes(arr: np.ndarray) -> bytes:
                  0, 255).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(u8).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _gif_bytes(frames: np.ndarray, duration_ms: int = 80) -> bytes:
+    """(T, H, W, C) f32 [-1, 1] -> looping animated GIF bytes."""
+    Image = _pil()
+    u8 = np.clip((np.asarray(frames, np.float32) + 1.0) * 127.5 + 0.5,
+                 0, 255).astype(np.uint8)
+    ims = [Image.fromarray(f) for f in u8]
+    buf = io.BytesIO()
+    ims[0].save(buf, "GIF", save_all=True, append_images=ims[1:],
+                duration=duration_ms, loop=0)
     return buf.getvalue()
 
 
@@ -411,6 +427,25 @@ def make_server(artifact_dir: str, host: str, port: int,
                                            axis=1)   # [input | aged@conds]
                     rows = grid.shape[1]
                     reply = (_png_bytes(strip), "image/png")
+                elif route.path == "/progression_gif":
+                    # raw image in, looping animated GIF of the SMOOTH
+                    # aging sweep out (?frames=N, default 24) — the serving
+                    # twin of test.py --anim
+                    from urllib.parse import parse_qsl
+                    srv = current["served"]
+                    images = _decode_image_body(body, srv.meta)
+                    q = dict(parse_qsl(route.query))
+                    frames = int(q.get("frames", 24))
+                    if not 2 <= frames <= 256:
+                        raise ValueError(f"frames must be in [2, 256], "
+                                         f"got {frames}")
+                    if batcher is None:
+                        with lock:
+                            anim = srv.animation(images, frames)
+                    else:
+                        anim = srv.animation(images, frames, call=dispatch)
+                    rows = frames
+                    reply = (_gif_bytes(anim[0]), "image/gif")
                 else:
                     return self._json(404, {"error": f"no route {self.path}"})
                 with stats_lock:
