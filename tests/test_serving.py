@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pytest
@@ -247,6 +248,18 @@ def test_http_server_roundtrip(tmp_path):
             health = jsonlib.loads(r.read())
         assert health["status"] == "ok"
         assert health["meta"]["crop_size"] == cfg.data.crop_size
+
+        # GET / serves the self-contained browser demo page
+        with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        for needle in ("/generate_image", "/progression_image",
+                       "/progression_gif", "/healthz"):
+            assert needle in page
+        # every meta.<key> the page's JS reads must exist in /healthz meta
+        # (a renamed meta key would render "undefined" in the browser)
+        for key in set(re.findall(r"meta\.([A-Za-z_][A-Za-z0-9_]*)", page)):
+            assert key in health["meta"], f"demo page reads absent meta.{key}"
 
         imgs, cond = _rand_inputs(cfg, 3)
         buf = io.BytesIO()

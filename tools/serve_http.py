@@ -22,6 +22,8 @@ artifact — the host needs jax + numpy, NO model code / Flax / torch:
                        body: raw JPEG/PNG bytes -> looping animated GIF of
                        the SMOOTH aging sweep (default 24 frames; the
                        serving twin of test.py --anim)
+    GET  /             -> self-contained HTML demo page (drives the raw
+                       image routes from a browser; adapts to cond_mode)
     GET  /healthz      -> JSON artifact metadata
     GET  /metrics      -> Prometheus text format (scrape-ready counters)
     POST /reload       body: JSON {"artifact_dir": path} (or empty = re-read
@@ -240,6 +242,103 @@ class Batcher:
                     ev.set()
 
 
+_DEMO_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>pcgan_tpu — aging demo</title>
+<style>
+  :root { color-scheme: light dark; }
+  body { font: 15px/1.5 system-ui, sans-serif; max-width: 720px;
+         margin: 2rem auto; padding: 0 1rem; }
+  h1 { font-size: 1.3rem; } code { font-size: .85em; }
+  fieldset { border: 1px solid #8884; border-radius: 8px;
+             margin: 1rem 0; padding: .75rem 1rem; }
+  label { margin-right: 1rem; }
+  #result img { max-width: 100%; border-radius: 6px; margin-top: 1rem; }
+  #status { color: #888; min-height: 1.5em; }
+  button { padding: .4rem 1rem; }
+</style></head><body>
+<h1>pcgan_tpu aging demo</h1>
+<p id="meta">loading artifact metadata…</p>
+<fieldset>
+  <legend>input face</legend>
+  <input type="file" id="file" accept="image/jpeg,image/png">
+</fieldset>
+<fieldset>
+  <legend>mode</legend>
+  <label><input type="radio" name="mode" value="single" checked> single age</label>
+  <label><input type="radio" name="mode" value="strip"> progression strip</label>
+  <label><input type="radio" name="mode" value="gif"> animated sweep</label>
+  <div id="condrow" style="margin-top:.5rem">
+    <label id="condlabel" for="cond"></label>
+    <input type="range" id="cond" style="width: 50%; vertical-align: middle">
+    <span id="condval"></span>
+  </div>
+</fieldset>
+<button id="go" disabled>age the face</button>
+<p id="status"></p>
+<div id="result"></div>
+<script>
+"use strict";
+const $ = id => document.getElementById(id);
+let meta = null;
+fetch("/healthz").then(r => r.json()).then(h => {
+  meta = h.meta;
+  $("meta").textContent = `serving ${h.artifact_dir} — ${meta.netG}, ` +
+    `${meta.crop_size}px, cond_mode=${meta.cond_mode}` +
+    (meta.cond_mode === "score" ? "" : `, ${meta.n_age_bins} age bins`);
+  const c = $("cond");
+  if (meta.cond_mode === "score") {
+    c.min = -100; c.max = 100; c.value = 0;
+    $("condlabel").textContent = "score";
+  } else {
+    c.min = 0; c.max = meta.n_age_bins - 1; c.value = 0;
+    $("condlabel").textContent = "age bin";
+  }
+  sync(); $("go").disabled = false;
+}).catch(e => { $("meta").textContent = "healthz failed: " + e; });
+function sync() {
+  const c = $("cond");
+  $("condval").textContent =
+    meta && meta.cond_mode === "score" ? (c.value / 100).toFixed(2) : c.value;
+  $("condrow").style.display =
+    document.querySelector("input[name=mode]:checked").value === "single"
+      ? "" : "none";
+}
+$("cond").addEventListener("input", sync);
+document.querySelectorAll("input[name=mode]").forEach(
+  r => r.addEventListener("change", sync));
+$("go").addEventListener("click", async () => {
+  const f = $("file").files[0];
+  if (!f) { $("status").textContent = "pick an image first"; return; }
+  const mode = document.querySelector("input[name=mode]:checked").value;
+  let url;
+  if (mode === "single") {
+    url = meta.cond_mode === "score"
+      ? `/generate_image?score=${$("cond").value / 100}`
+      : `/generate_image?bin=${$("cond").value}`;
+  } else if (mode === "strip") url = "/progression_image";
+  else url = "/progression_gif?frames=24";
+  $("status").textContent = "running on device…";
+  $("go").disabled = true;
+  const t0 = performance.now();
+  try {
+    const r = await fetch(url, { method: "POST", body: f });
+    if (!r.ok) throw new Error((await r.json()).error || r.status);
+    const blob = await r.blob();
+    $("result").innerHTML = "";
+    const img = document.createElement("img");
+    img.src = URL.createObjectURL(blob);
+    $("result").appendChild(img);
+    $("status").textContent =
+      `done in ${((performance.now() - t0) / 1e3).toFixed(2)} s`;
+  } catch (e) { $("status").textContent = "error: " + e.message; }
+  finally { $("go").disabled = false; }
+});
+</script></body></html>
+"""
+
+
 def _precheck(images: np.ndarray, cond: np.ndarray, meta: dict):
     """Per-request validation BEFORE coalescing: a malformed request must
     400 alone, not poison the fused batch it would ride in."""
@@ -323,6 +422,12 @@ def make_server(artifact_dir: str, host: str, port: int,
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
         def do_GET(self):
+            if self.path in ("/", "/demo"):
+                # self-contained browser demo over the raw-image routes —
+                # no assets, no deps; the page reads /healthz to adapt its
+                # condition control to the artifact's cond_mode
+                return self._reply(200, _DEMO_HTML.encode(),
+                                   "text/html; charset=utf-8")
             if self.path == "/healthz":
                 return self._json(200, {
                     "status": "ok", "meta": current["served"].meta,
