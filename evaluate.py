@@ -27,7 +27,8 @@ def main(argv=None):
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
     from pcgan_tpu.config import parse_config
-    cfg = parse_config(argv, is_train=False)
+    # structural flags default from the run's opt.json (see test.py)
+    cfg = parse_config(argv, is_train=False, opt_defaults="on")
     from pcgan_tpu.platform import enable_compile_cache
     enable_compile_cache(cfg.run.compile_cache)
     if cfg.data.device_cache or cfg.data.device_cache_sharded:

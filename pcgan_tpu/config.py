@@ -382,6 +382,99 @@ def replace(cfg, **kw):
 
 
 # --------------------------------------------------------------------------- #
+# opt.json run-config layering
+# --------------------------------------------------------------------------- #
+
+# Structural keys adopted from a saved run's opt.json by checkpoint-CONSUMING
+# CLIs (test.py / evaluate.py / tools, and train.py under --continue_train):
+# the fields that must match the saved run for its checkpoints to restore and
+# sample correctly — network architecture, condition encoding, input geometry
+# — plus (resume only) the TrainState-tree togglers a resumed run must match.
+# Everything else (dataroot, batch size, cadences, loss weights, ...) stays
+# under the caller's control. Explicit CLI flags always override; conflicts
+# with the saved structural value warn loudly (the exact failure that used to
+# surface as an opaque orbax tree-structure error).
+_OPT_STRUCTURAL = {
+    "data": ("input_nc", "output_nc", "n_age_bins", "max_age",
+             "load_size", "crop_size"),
+    "model": ("netG", "netD", "ngf", "ndf", "n_layers_D", "num_D", "norm",
+              "spectral_norm", "g_attn", "no_dropout", "cond_inject",
+              "cond_mode", "cmp_nf", "cmp_n_down", "dtype", "lowch_matmul"),
+}
+# adopted ONLY when resuming training (state-tree/loss-wiring togglers whose
+# silent loss would corrupt or crash the resumed run)
+_OPT_RESUME_TRAIN = ("ema_decay", "skip_nonfinite", "comparator_path")
+
+
+def load_run_opt(checkpoints_dir: str, name: str) -> Optional[dict]:
+    """Read ``<checkpoints_dir>/<name>/opt.json`` (written by train.py).
+    Returns the raw nested dict, or None if absent/unreadable (legacy runs
+    predating the dump, or hand-assembled checkpoint dirs)."""
+    path = os.path.join(checkpoints_dir, name, "opt.json")
+    try:
+        with open(path) as f:
+            opt = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return opt if isinstance(opt, dict) else None
+
+
+def opt_value(opt: Optional[dict], section: str, flag: str, fallback):
+    """One saved value out of a load_run_opt() dict, or `fallback` when the
+    dict/section/key is absent (tools with their own argparse use this to
+    resolve explicit > opt.json > hard default)."""
+    if opt is not None and isinstance(opt.get(section), dict) \
+            and flag in opt[section]:
+        return opt[section][flag]
+    return fallback
+
+
+def _layer_opt_defaults(sections: dict, opt: dict, *, resume: bool,
+                        path: str) -> None:
+    """Underlay opt.json's structural values beneath the explicit flags in
+    `sections` (in place). Explicit flags win; explicit values that DIFFER
+    from the saved run's structural value print one warning line each."""
+    wanted = dict(_OPT_STRUCTURAL)
+    if resume:
+        wanted["train"] = _OPT_RESUME_TRAIN
+    adopted, conflicts = [], []
+    for section, keys in wanted.items():
+        saved = opt.get(section)
+        if not isinstance(saved, dict):
+            continue
+        fields = {f.name: f for f in dataclasses.fields(_SECTION_TYPES[section])}
+        for key in keys:
+            if key not in saved or key not in fields:
+                continue
+            val = saved[key]
+            default = fields[key].default
+            if default is not None and not isinstance(val, type(default)):
+                try:                      # json round-trips 2.0 -> 2.0 but a
+                    val = type(default)(val)   # hand-edited "2" should coerce
+                except (TypeError, ValueError):
+                    continue
+            if key in sections[section]:
+                if sections[section][key] != val:
+                    conflicts.append(
+                        f"--{key} {sections[section][key]!r} "
+                        f"(run was trained with {val!r})")
+                continue
+            if val != default:
+                adopted.append(f"{key}={val!r}")
+            sections[section][key] = val
+    if adopted:
+        print(f"config: from {path}: {', '.join(adopted)} "
+              f"(explicit flags override; --no-from_opt disables)",
+              flush=True)
+    for c in conflicts:
+        # overriding can be legitimate (e.g. sampling a fully-conv G at a
+        # different crop_size, or f32 sampling of a bf16 run) — note it
+        # loudly, don't block
+        print(f"config: note: explicit {c} — overriding the saved run's "
+              f"opt.json value", flush=True)
+
+
+# --------------------------------------------------------------------------- #
 # CLI — reference-compatible flag surface
 # --------------------------------------------------------------------------- #
 
@@ -746,6 +839,17 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
                        help="accepted for reference CLI compatibility; ignored")
     p.add_argument("--no_html", action="store_true", default=None,
                    help="accepted for reference CLI compatibility; ignored")
+    p.add_argument("--from_opt", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="default the run's STRUCTURAL flags (architecture, "
+                        "condition encoding, input geometry) from "
+                        "<checkpoints_dir>/<name>/opt.json saved at training "
+                        "time. ON by default for checkpoint-consuming CLIs "
+                        "(test/evaluate, and train --continue_train, which "
+                        "also adopts the state-tree togglers ema_decay/"
+                        "skip_nonfinite/comparator_path); explicit flags "
+                        "always override. --no-from_opt = the reference's "
+                        "behavior (every flag must be retyped to match)")
     p.add_argument("--eval", action="store_true", default=None,
                    help="accepted for reference CLI compatibility; a no-op "
                         "here because sampling/eval ALWAYS runs eval-mode "
@@ -754,14 +858,41 @@ def build_parser(is_train: bool = True) -> argparse.ArgumentParser:
     return p
 
 
-def parse_config(argv=None, is_train: bool = True) -> Config:
-    """Parse argv into a Config; only explicitly-passed flags override defaults."""
+def parse_config(argv=None, is_train: bool = True,
+                 opt_defaults: str = "off") -> Config:
+    """Parse argv into a Config; only explicitly-passed flags override defaults.
+
+    opt_defaults — whether the saved run's opt.json underlays the defaults
+    (see --from_opt): "off" (never), "on" (checkpoint-consuming CLIs:
+    test.py / evaluate.py), "resume" (train.py: only under --continue_train,
+    which additionally adopts the state-tree togglers).
+    """
+    assert opt_defaults in ("off", "on", "resume"), opt_defaults
     args = build_parser(is_train).parse_args(argv)
     sections = {k: {} for k in _SECTION_TYPES}
     for flag, (section, fname) in _FLAG_MAP.items():
         v = getattr(args, flag, None)
         if v is not None:
             sections[section][fname] = v
+    mode = opt_defaults
+    if mode == "resume" and not sections["train"].get("continue_train"):
+        mode = "off"
+    if args.from_opt:                    # explicit opt-in forces it anywhere
+        mode = "on"
+    elif args.from_opt is False:
+        mode = "off"
+    if mode != "off":
+        cdir = sections["run"].get("checkpoints_dir",
+                                   RunConfig.checkpoints_dir)
+        name = sections["run"].get("name", RunConfig.name)
+        opt = load_run_opt(cdir, name)
+        if opt is not None:
+            _layer_opt_defaults(sections, opt,
+                                resume=(opt_defaults == "resume"),
+                                path=os.path.join(cdir, name, "opt.json"))
+        elif args.from_opt:
+            raise SystemExit(f"--from_opt: no readable opt.json under "
+                             f"{os.path.join(cdir, name)}")
     if args.mesh_axes is not None and args.mesh_shape is None:
         raise SystemExit("--mesh_axes requires --mesh_shape")
     if args.mesh_shape is not None:

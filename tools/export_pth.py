@@ -69,20 +69,42 @@ def main(argv=None):
     p.add_argument("--like", default=None,
                    help="reference .pth whose names/layout to clone "
                         "(default: the in-repo torch mirror)")
-    p.add_argument("--netG", default="resnet_9blocks")
-    p.add_argument("--ngf", type=int, default=64)
-    p.add_argument("--norm", default="instance")
-    p.add_argument("--cond_inject", default="input")
-    p.add_argument("--cond_mode", default="onehot", choices=["onehot", "score"])
-    p.add_argument("--crop_size", type=int, default=128)
-    p.add_argument("--n_age_bins", type=int, default=10)
-    p.add_argument("--input_nc", type=int, default=3)
-    p.add_argument("--output_nc", type=int, default=3)
+    # explicit > the run's opt.json (written by train.py) > training default
+    p.add_argument("--netG", default=None)
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--norm", default=None)
+    p.add_argument("--cond_inject", default=None)
+    p.add_argument("--cond_mode", default=None, choices=["onehot", "score"])
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--n_age_bins", type=int, default=None)
+    p.add_argument("--input_nc", type=int, default=None)
+    p.add_argument("--output_nc", type=int, default=None)
     p.add_argument("--allow_pickle", action="store_true",
                    help="permit weights_only=False torch.load for a "
                         "full-module --like file — EXECUTES pickled code "
                         "from it; only for files you trust")
     args = p.parse_args(argv)
+
+    # resolve architecture flags from the run's opt.json when not explicit
+    from pcgan_tpu.config import load_run_opt, opt_value
+    _opt = load_run_opt(args.checkpoints_dir, args.name)
+
+    def _arch(flag, section, hard):
+        v = getattr(args, flag)
+        return v if v is not None else opt_value(_opt, section, flag, hard)
+
+    args.netG = _arch("netG", "model", "resnet_9blocks")
+    args.ngf = _arch("ngf", "model", 64)
+    args.norm = _arch("norm", "model", "instance")
+    args.cond_inject = _arch("cond_inject", "model", "input")
+    args.cond_mode = _arch("cond_mode", "model", "onehot")
+    args.crop_size = _arch("crop_size", "data", 128)
+    args.n_age_bins = _arch("n_age_bins", "data", 10)
+    args.input_nc = _arch("input_nc", "data", 3)
+    args.output_nc = _arch("output_nc", "data", 3)
+    if _opt is not None:
+        print("config: architecture defaults from the run's opt.json "
+              "(explicit flags override)", flush=True)
 
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()

@@ -84,13 +84,19 @@ def main(argv=None):
                         "checkpoints-style dir instead of a generator "
                         "(scoring-as-a-service; --name/--tag/--use_ema "
                         "ignored)")
-    p.add_argument("--cmp_nf", type=int, default=64)
-    p.add_argument("--cmp_n_down", type=int, default=4)
-    p.add_argument("--netG", default="resnet_9blocks")
-    p.add_argument("--ngf", type=int, default=64)
-    p.add_argument("--norm", default="instance")
-    p.add_argument("--cond_inject", default="input")
-    p.add_argument("--cond_mode", default="onehot", choices=["onehot", "score"])
+    # architecture flags: explicit > the run's opt.json (written by
+    # train.py; resolved below) > the training-CLI defaults — a trained run
+    # exports with just --name, no flag retyping
+    p.add_argument("--cmp_nf", type=int, default=None)
+    p.add_argument("--cmp_n_down", type=int, default=None)
+    p.add_argument("--netG", default=None)
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--norm", default=None)
+    p.add_argument("--g_attn", action="store_true", default=None,
+                   help="the run used --g_attn (SAGAN block in the resnet "
+                        "trunk); defaulted from opt.json when present")
+    p.add_argument("--cond_inject", default=None)
+    p.add_argument("--cond_mode", default=None, choices=["onehot", "score"])
     p.add_argument("--dtype", default=None,
                    choices=["bfloat16", "float32"],
                    help="compute dtype INSIDE the artifact (call contract "
@@ -116,11 +122,41 @@ def main(argv=None):
                         "images are what the scales must bound; heavy-tailed "
                         "peaks on structured faces can exceed what noise "
                         "drives). Default: the synthetic face-like dataset")
-    p.add_argument("--crop_size", type=int, default=128)
-    p.add_argument("--n_age_bins", type=int, default=10)
-    p.add_argument("--input_nc", type=int, default=3)
-    p.add_argument("--output_nc", type=int, default=3)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--n_age_bins", type=int, default=None)
+    p.add_argument("--input_nc", type=int, default=None)
+    p.add_argument("--output_nc", type=int, default=None)
     args = p.parse_args(argv)
+
+    # resolve architecture flags: explicit > run opt.json > training default
+    from pcgan_tpu.config import load_run_opt, opt_value
+    _opt = load_run_opt(args.checkpoints_dir, args.name) if args.name else None
+    if args.comparator_path and _opt is None:
+        # comparator pretraining writes opt.json into its run dir, which is
+        # the parent of the checkpoint dir --comparator_path points at
+        # (e.g. <ckpts>/<run>/cmp_latest)
+        d = os.path.dirname(os.path.abspath(args.comparator_path))
+        _opt = load_run_opt(os.path.dirname(d), os.path.basename(d))
+
+    def _arch(flag, section, hard):
+        v = getattr(args, flag)
+        return v if v is not None else opt_value(_opt, section, flag, hard)
+
+    args.cmp_nf = _arch("cmp_nf", "model", 64)
+    args.cmp_n_down = _arch("cmp_n_down", "model", 4)
+    args.netG = _arch("netG", "model", "resnet_9blocks")
+    args.ngf = _arch("ngf", "model", 64)
+    args.norm = _arch("norm", "model", "instance")
+    args.g_attn = _arch("g_attn", "model", False)
+    args.cond_inject = _arch("cond_inject", "model", "input")
+    args.cond_mode = _arch("cond_mode", "model", "onehot")
+    args.crop_size = _arch("crop_size", "data", 128)
+    args.n_age_bins = _arch("n_age_bins", "data", 10)
+    args.input_nc = _arch("input_nc", "data", 3)
+    args.output_nc = _arch("output_nc", "data", 3)
+    if _opt is not None:
+        print(f"config: architecture defaults from the run's opt.json "
+              f"(explicit flags override)", flush=True)
 
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
@@ -186,6 +222,7 @@ def main(argv=None):
         data=DataConfig(crop_size=args.crop_size, n_age_bins=args.n_age_bins,
                         input_nc=args.input_nc, output_nc=args.output_nc),
         model=ModelConfig(netG=args.netG, ngf=args.ngf, norm=args.norm,
+                          g_attn=bool(args.g_attn),
                           cond_inject=args.cond_inject,
                           cond_mode=args.cond_mode, dtype=args.dtype,
                           quant_int8=args.quant_int8))

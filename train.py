@@ -24,7 +24,10 @@ def main(argv=None):
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
     from pcgan_tpu.config import parse_config
-    cfg = parse_config(argv, is_train=True)
+    # under --continue_train, structural flags + the state-tree togglers
+    # (ema_decay/skip_nonfinite/comparator_path) default from the run's own
+    # opt.json — a resume can't silently drop a lever the checkpoint carries
+    cfg = parse_config(argv, is_train=True, opt_defaults="resume")
     from pcgan_tpu.platform import enable_compile_cache
     enable_compile_cache(cfg.run.compile_cache)
     if cfg.model.quant_int8:
