@@ -111,6 +111,10 @@ class ModelConfig:
     # a 3x3 stack only reaches through depth. gamma starts 0 (exact identity
     # at init). resnet generators only; beyond-reference opt-in, off = parity.
     g_attn: bool = False
+    # the discriminator twin: one SAGAN block after the PatchGAN's strided
+    # stack (SAGAN uses attention in BOTH nets). basic/n_layers/multiscale
+    # only; composes with --spectral_norm. Beyond-reference opt-in.
+    d_attn: bool = False
     init_type: str = "normal"        # normal | xavier | kaiming | orthogonal
     init_gain: float = 0.02
     no_dropout: bool = True
@@ -270,6 +274,13 @@ class ParallelConfig:
     # training through the GSPMD step (parallel/auto.py). Beyond-reference
     # opt-in; needs a data axis > 1.
     zero1: bool = False
+    # ICI x DCN hybrid mesh (multislice growth path): the data axis factors
+    # granule-major over this many DCN-connected granules (TPU slices; or
+    # processes where slice metadata is absent), so only the per-step
+    # gradient all-reduce crosses DCN and every per-layer collective
+    # (spatial halos, model gathers, ZeRO-1 scatters) stays on ICI.
+    # 1 = single-slice (all axes ICI) = default.
+    dcn_data: int = 1
 
 
 @dataclass(frozen=True)
@@ -398,7 +409,7 @@ _OPT_STRUCTURAL = {
     "data": ("input_nc", "output_nc", "n_age_bins", "max_age",
              "load_size", "crop_size"),
     "model": ("netG", "netD", "ngf", "ndf", "n_layers_D", "num_D", "norm",
-              "spectral_norm", "g_attn", "no_dropout", "cond_inject",
+              "spectral_norm", "g_attn", "d_attn", "no_dropout", "cond_inject",
               "cond_mode", "cmp_nf", "cmp_n_down", "dtype", "lowch_matmul"),
 }
 # adopted ONLY when resuming training (state-tree/loss-wiring togglers whose
@@ -514,6 +525,7 @@ _FLAG_MAP = {
     "norm": ("model", "norm"),
     "spectral_norm": ("model", "spectral_norm"),
     "g_attn": ("model", "g_attn"),
+    "d_attn": ("model", "d_attn"),
     "init_type": ("model", "init_type"),
     "init_gain": ("model", "init_gain"),
     "no_dropout": ("model", "no_dropout"),
@@ -593,6 +605,7 @@ _FLAG_MAP = {
     # parallel
     "spatial_shards": ("parallel", "spatial_shards"),
     "zero1": ("parallel", "zero1"),
+    "dcn_data": ("parallel", "dcn_data"),
 }
 
 _SECTION_TYPES = {
@@ -636,6 +649,13 @@ _FLAG_HELP = {
              "-> shard-update -> all-gather(delta) schedule from the "
              "shardings (GSPMD step). Composes with --mesh_axes "
              "data,model. Beyond-reference opt-in; needs a data axis > 1",
+    "dcn_data": "multislice hybrid mesh: factor the data axis granule-major "
+                "over this many DCN-connected granules (TPU slices; "
+                "processes where slice metadata is absent) so ONLY the "
+                "per-step gradient all-reduce crosses DCN — spatial halos, "
+                "model-axis gathers and ZeRO-1 scatters stay on ICI. Must "
+                "equal the slice count and divide the data axis. 1 = "
+                "single-slice = default",
     "spectral_norm": "spectral normalization of every discriminator conv "
                      "(SN-GAN, Miyato 2018): kernels divided by their "
                      "largest singular value, one power-iteration step per "
@@ -730,6 +750,11 @@ _FLAG_HELP = {
               "generator (Zhang 2019): global context at the bottleneck "
               "resolution; gamma starts 0 so init is an exact identity. "
               "resnet G only. Beyond-reference opt-in; off = parity",
+    "d_attn": "add one SAGAN self-attention block after the PatchGAN D's "
+              "strided stack (SAGAN puts attention in both nets): global "
+              "patch context; gamma starts 0 so init scores identically to "
+              "the plain D. basic/n_layers/multiscale only; composes with "
+              "--spectral_norm. Beyond-reference opt-in; off = parity",
     "lambda_vgg": "pix2pixHD VGG19 perceptual loss between the "
                   "reconstruction and the real image (weighted L1 over the "
                   "five relu taps; published weight 10). Needs --vgg_path. "

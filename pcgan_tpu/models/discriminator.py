@@ -32,7 +32,7 @@ from typing import Any, Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcgan_tpu.models.generator import broadcast_cond
+from pcgan_tpu.models.generator import SelfAttention, broadcast_cond
 from pcgan_tpu.models.layers import Norm, TorchConv, conv_bias_before_norm
 
 Dtype = Any
@@ -57,6 +57,14 @@ class NLayerDiscriminator(nn.Module):
     n_layers: int = 3
     norm: str = "instance"
     spectral_norm: bool = False
+    # --d_attn (SAGAN, Zhang 2019 — beyond-reference opt-in): one
+    # self-attention block after the strided stack, where the map is
+    # crop_size/2^n_layers — global patch context the 4x4 stack only
+    # accumulates through depth. gamma starts 0 = exact identity at init,
+    # so a d_attn D scores bit-identically to the plain PatchGAN until
+    # training grows the attention term. Composes with --spectral_norm
+    # (the attention projections SN-wrap too, SAGAN semantics).
+    d_attn: bool = False
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -91,6 +99,14 @@ class NLayerDiscriminator(nn.Module):
             h = Norm(self.norm, self.dtype)(h, train)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)
+        if self.d_attn:
+            # between the strided stack and the stride-1 head; NOT a
+            # feature-matching tap (--lambda_feat keeps n_layers+1 taps
+            # either way, so the flag doesn't rescale loss_G_feat)
+            h = SelfAttention(h.shape[-1], dtype=self.dtype,
+                              kernel_init=self.kernel_init,
+                              spectral_norm=self.spectral_norm,
+                              name="attn")(h, train)
         nf_mult = min(2 ** self.n_layers, 8)
         h = _apply_conv(
             TorchConv(self.ndf * nf_mult, 4, 1, 1, use_bias=use_bias, **kw),
@@ -127,6 +143,7 @@ class MultiScaleDiscriminator(nn.Module):
     num_D: int = 2
     norm: str = "instance"
     spectral_norm: bool = False
+    d_attn: bool = False             # SAGAN block in EVERY scale's D
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
 
@@ -145,7 +162,8 @@ class MultiScaleDiscriminator(nn.Module):
                 h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             out = NLayerDiscriminator(
                 ndf=self.ndf, n_layers=self.n_layers, norm=self.norm,
-                spectral_norm=self.spectral_norm, dtype=self.dtype,
+                spectral_norm=self.spectral_norm, d_attn=self.d_attn,
+                dtype=self.dtype,
                 kernel_init=self.kernel_init, name=f"D_{k}")(
                     h, None, train, return_features=return_features)
             if return_features:

@@ -89,14 +89,21 @@ class SelfAttention(nn.Module):
     in f32 on the bf16 path (4k-term reductions). ``gamma`` starts at 0 —
     the block is an exact identity at init, so training starts from the
     plain resnet and grows the attention contribution.
+
+    ``spectral_norm=True`` (the ``--d_attn --spectral_norm`` composition in
+    the discriminator — SAGAN applies SN to the attention projections too)
+    wraps each 1x1 conv in flax SpectralNorm; child params keep their own
+    paths, u/sigma land in ``batch_stats`` (TrainState.d_state), so the
+    param tree matches the non-SN block and checkpoints cross-load.
     """
 
     dim: int
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(0.02)
+    spectral_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         n, h, w, c = x.shape
         if h % 2 or w % 2:
             raise ValueError(f"SelfAttention needs even spatial dims for the "
@@ -104,17 +111,22 @@ class SelfAttention(nn.Module):
         k8, k2 = max(self.dim // 8, 1), max(self.dim // 2, 1)
         kw = dict(dtype=self.dtype, kernel_init=self.kernel_init,
                   use_bias=False)
-        q = nn.Conv(k8, (1, 1), name="theta", **kw)(x)
-        k = nn.max_pool(nn.Conv(k8, (1, 1), name="phi", **kw)(x),
-                        (2, 2), strides=(2, 2))
-        v = nn.max_pool(nn.Conv(k2, (1, 1), name="g", **kw)(x),
-                        (2, 2), strides=(2, 2))
+
+        def conv(feats, name, t):
+            c = nn.Conv(feats, (1, 1), name=name, **kw)
+            if self.spectral_norm:
+                return nn.SpectralNorm(c)(t, update_stats=train)
+            return c(t)
+
+        q = conv(k8, "theta", x)
+        k = nn.max_pool(conv(k8, "phi", x), (2, 2), strides=(2, 2))
+        v = nn.max_pool(conv(k2, "g", x), (2, 2), strides=(2, 2))
         logits = jnp.einsum("nqc,nkc->nqk", q.reshape(n, h * w, k8),
                             k.reshape(n, -1, k8)).astype(jnp.float32)
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         o = jnp.einsum("nqk,nkc->nqc", attn,
                        v.reshape(n, -1, k2)).reshape(n, h, w, k2)
-        o = nn.Conv(self.dim, (1, 1), name="o", **kw)(o)
+        o = conv(self.dim, "o", o)
         gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
         return x + gamma.astype(x.dtype) * o
 

@@ -98,13 +98,19 @@ def define_D(cfg: Config) -> nn.Module:
     name = cfg.model.netD
     kw = _common(cfg)
     kw["spectral_norm"] = cfg.model.spectral_norm
+    if name == "pixel":
+        if cfg.model.d_attn:
+            raise NotImplementedError(
+                "--d_attn is a PatchGAN lever (the pixel D is a stack of 1x1 "
+                "convs with no spatial stack to attend over); use --netD "
+                "basic/n_layers/multiscale")
+        return PixelDiscriminator(ndf=cfg.model.ndf, **kw)
+    kw["d_attn"] = cfg.model.d_attn
     if name == "basic":
         return NLayerDiscriminator(ndf=cfg.model.ndf, n_layers=3, **kw)
     if name == "n_layers":
         return NLayerDiscriminator(ndf=cfg.model.ndf,
                                    n_layers=cfg.model.n_layers_D, **kw)
-    if name == "pixel":
-        return PixelDiscriminator(ndf=cfg.model.ndf, **kw)
     if name == "multiscale":
         # pix2pixHD family (beyond-reference): num_D PatchGANs over a
         # 2x-mean-pool pyramid; returns a tuple of patch maps

@@ -137,3 +137,91 @@ def test_unet_rejects_g_attn():
     cfg = _cfg(netG="unet_128")
     with pytest.raises(NotImplementedError, match="resnet"):
         define_G(cfg)
+
+
+# --------------------------------------------------------------------------- #
+# --d_attn: the SAGAN block in the PatchGAN discriminator
+# --------------------------------------------------------------------------- #
+
+
+def _d_batch(seed=3, n=2, s=32):
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.normal(0, 0.5, (n, s, s, 3)), jnp.float32)
+    c = jnp.asarray(np.eye(4, dtype=np.float32)[r.integers(0, 4, (n,))])
+    return x, c
+
+
+def test_d_attn_identity_at_init():
+    """gamma=0 -> a d_attn D scores BIT-identically to the plain PatchGAN at
+    init (flax derives param rngs per-path, so the shared convs init
+    identically with or without the extra attn module)."""
+    from pcgan_tpu.models import define_D
+    from pcgan_tpu.models.registry import init_params
+    x, c = _d_batch()
+    outs = {}
+    for flag in (False, True):
+        cfg = _cfg(g_attn=False, d_attn=flag)
+        D = define_D(cfg)
+        v = init_params(D, jax.random.PRNGKey(7), x, c, train=False)
+        outs[flag] = np.asarray(D.apply(v, x, c, train=False))
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_d_attn_train_step_runs_and_gamma_moves():
+    from pcgan_tpu.models import define_D, define_G
+    from pcgan_tpu.train import create_train_state, make_train_step
+    cfg = _cfg(g_attn=False, d_attn=True)
+    G, D = define_G(cfg), define_D(cfg)
+    state = create_train_state(cfg, G, D, jax.random.PRNGKey(0), 10)
+    assert float(state.d_params["attn"]["gamma"]) == 0.0
+    step = jax.jit(make_train_step(cfg, G, D, steps_per_epoch=10))
+    r = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(r.uniform(-1, 1, (4, 32, 32, 3)),
+                                  jnp.float32),
+             "bin": jnp.asarray(r.integers(0, 4, (4,), np.int32))}
+    for _ in range(2):
+        state, m = step(state, batch)
+        assert all(np.isfinite(float(v)) for v in m.values())
+    assert float(jnp.abs(state.d_params["attn"]["gamma"])) > 0
+
+
+def test_d_attn_composes_with_spectral_norm():
+    """SN wraps the attention projections too (SAGAN semantics): u/sigma
+    land in batch_stats under the attn path, while the PARAM tree matches
+    the non-SN d_attn D (checkpoints cross-load)."""
+    from pcgan_tpu.models import define_D
+    from pcgan_tpu.models.registry import init_params
+    x, c = _d_batch()
+    trees = {}
+    for sn in (False, True):
+        cfg = _cfg(g_attn=False, d_attn=True, spectral_norm=sn)
+        D = define_D(cfg)
+        v = init_params(D, jax.random.PRNGKey(7), x, c, train=True)
+        trees[sn] = v
+        out = D.apply(v, x, c, train=False)
+        assert np.isfinite(np.asarray(out)).all()
+    assert (jax.tree_util.tree_structure(trees[False]["params"])
+            == jax.tree_util.tree_structure(trees[True]["params"]))
+    bs = trees[True]["batch_stats"]
+    assert any("attn" in k for k in bs), sorted(bs)
+
+
+def test_d_attn_multiscale_runs():
+    from pcgan_tpu.models import define_D
+    from pcgan_tpu.models.registry import init_params
+    x, c = _d_batch(s=32)
+    cfg = _cfg(g_attn=False, d_attn=True, netD="multiscale", num_D=2,
+               n_layers_D=2)
+    D = define_D(cfg)
+    v = init_params(D, jax.random.PRNGKey(0), x, c, train=False)
+    outs = D.apply(v, x, c, train=False)
+    assert isinstance(outs, tuple) and len(outs) == 2
+    for k in range(2):
+        assert "attn" in v["params"][f"D_{k}"]
+
+
+def test_pixel_rejects_d_attn():
+    from pcgan_tpu.models import define_D
+    cfg = _cfg(g_attn=False, d_attn=True, netD="pixel")
+    with pytest.raises(NotImplementedError, match="PatchGAN"):
+        define_D(cfg)
