@@ -56,8 +56,8 @@ def main(argv=None):
     # distributed eval (SURVEY.md SS3.2 metric-reduction row): shard batches
     # over the mesh's data axis so FID uses every chip; fall back to
     # single-device when the batch cannot split evenly
-    from pcgan_tpu.parallel import make_mesh
-    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    from pcgan_tpu.parallel import mesh_from_config
+    mesh = mesh_from_config(cfg.parallel)
     n_data = mesh.shape.get("data", 1)
     n_proc = jax.process_count()
     if n_data > 1 and cfg.data.batch_size % n_data:

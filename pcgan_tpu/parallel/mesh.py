@@ -44,6 +44,78 @@ def make_mesh(mesh_shape: Sequence[int] = (-1,),
     return Mesh(dev_array, tuple(mesh_axes))
 
 
+def _granule_ids(devices) -> list:
+    """DCN granule id per device: ``slice_index`` when the platform exposes
+    distinct slices (multi-slice TPU — the real DCN boundary), else
+    ``process_index`` (the proxy for multi-host CPU tests and environments
+    without slice metadata)."""
+    ids = [getattr(d, "slice_index", None) for d in devices]
+    if all(i is not None for i in ids) and len(set(ids)) > 1:
+        return ids
+    return [d.process_index for d in devices]
+
+
+def make_hybrid_mesh(mesh_shape: Sequence[int] = (-1,),
+                     mesh_axes: Sequence[str] = ("data",),
+                     dcn_data: int = 2,
+                     devices=None,
+                     granule_of=None) -> Mesh:
+    """ICI x DCN hybrid mesh (--dcn_data): the DATA axis factors
+    granule-major over ``dcn_data`` DCN-connected device granules (TPU
+    slices, or processes as the test proxy), so ONLY the data-parallel
+    collectives — one gradient all-reduce per step, the cheapest and most
+    overlappable traffic — cross DCN, while every per-layer collective
+    (spatial conv halos, model-axis gathers, ZeRO-1 reduce-scatters) stays
+    inside a granule on ICI. This is the standard multislice recipe
+    (scaling-book "pick the mesh so collectives ride ICI"); SURVEY.md SS3.2
+    scopes DCN out for the v5e-8 target, so this is the beyond-reference
+    growth path past one slice.
+
+    ``granule_of`` overrides the granule id per device (tests / dryruns on
+    single-process virtual meshes, where neither slice_index nor
+    process_index distinguishes devices).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    mesh_axes = tuple(mesh_axes)
+    if "data" not in mesh_axes:
+        raise ValueError("--dcn_data needs a 'data' mesh axis to span DCN")
+    shape = resolve_mesh_shape(mesh_shape, len(devices))
+    dpos = mesh_axes.index("data")
+    if shape[dpos] % dcn_data:
+        raise ValueError(f"data axis ({shape[dpos]}) must be divisible by "
+                         f"--dcn_data {dcn_data}")
+    ids = ([granule_of(d) for d in devices] if granule_of is not None
+           else _granule_ids(devices))
+    groups: dict = {}
+    for d, g in zip(devices, ids):
+        groups.setdefault(g, []).append(d)
+    if len(groups) != dcn_data:
+        raise ValueError(
+            f"--dcn_data {dcn_data}: found {len(groups)} DCN granule(s) "
+            f"({sorted(map(str, groups))}) — dcn_data must equal the number "
+            f"of slices (or processes, on platforms without slice metadata)")
+    sizes = {len(v) for v in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(f"uneven DCN granules: {sorted(sizes)} devices")
+    inner = list(shape)
+    inner[dpos] = shape[dpos] // dcn_data
+    per = int(np.prod(inner))
+    if per != sizes.pop():
+        raise ValueError(f"mesh {shape} needs {per} devices per granule, "
+                         f"granules have {len(next(iter(groups.values())))}")
+    blocks = [np.asarray(groups[g]).reshape(inner) for g in sorted(groups)]
+    return Mesh(np.concatenate(blocks, axis=dpos), mesh_axes)
+
+
+def mesh_from_config(pcfg) -> Mesh:
+    """Build the run mesh from a ParallelConfig: hybrid (granule-major data
+    axis) when --dcn_data > 1, plain enumeration-order otherwise."""
+    if getattr(pcfg, "dcn_data", 1) > 1:
+        return make_hybrid_mesh(pcfg.mesh_shape, pcfg.mesh_axes,
+                                pcfg.dcn_data)
+    return make_mesh(pcfg.mesh_shape, pcfg.mesh_axes)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Batch-dim sharding over the data axis (per-host data sharding target
     for device_prefetch)."""

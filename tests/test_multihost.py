@@ -139,6 +139,32 @@ def test_two_process_sharded_device_cache():
 
 
 @pytest.mark.slow
+def test_two_process_hybrid_mesh():
+    """--dcn_data hybrid mesh across 2 real jax.distributed processes (the
+    process_index granule fallback): granule-major layout — each process's
+    devices hold a contiguous data-axis block, so only the gradient pmean
+    crosses the process (DCN) boundary — and the full fused DP step runs to
+    finite, process-agreeing metrics on put_global_batch input."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_hybrid_worker.py")
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = _drain(procs, 300)
+    losses = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        line = [l for l in out.splitlines() if f"worker {pid}: OK" in l]
+        assert line, out
+        losses.add(line[0].split("loss_G=")[1])
+    assert len(losses) == 1, f"processes disagree on loss_G: {losses}"
+
+
+@pytest.mark.slow
 def test_two_process_model_axis_step(tmp_path):
     """The GSPMD data x model step is process-topology invariant: 2
     jax.distributed processes over the same 2x2 mesh produce the same

@@ -40,7 +40,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from pcgan_tpu.data import loader as data_loader
-    from pcgan_tpu.parallel import make_mesh
+    from pcgan_tpu.parallel import mesh_from_config
     from pcgan_tpu.utils.metrics import MetricsLogger, StepTimer
     from pcgan_tpu.utils import checkpoint as ckpt
 
@@ -53,7 +53,7 @@ def main(argv=None):
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "opt.json"))   # reference dumps opt.txt
 
-    mesh = make_mesh(cfg.parallel.mesh_shape, cfg.parallel.mesh_axes)
+    mesh = mesh_from_config(cfg.parallel)
     print(f"devices: {mesh.devices.size} ({jax.devices()[0].platform}), mesh "
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
     n_data = mesh.shape.get("data", 1)
