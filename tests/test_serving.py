@@ -756,3 +756,42 @@ def test_http_progression_gif(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_loadtest_tool_against_live_host(tmp_path):
+    """tools/loadtest.py: the concurrent load generator drives a live
+    coalescing host to completion — all requests OK, sane latency
+    percentiles, and the device-dispatch delta visible (coalescing means
+    dispatches <= requests)."""
+    import sys
+    import threading
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from loadtest import run_loadtest
+    from pcgan_tpu.serving import export_generator
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, served = serve_http.make_server(str(tmp_path), "127.0.0.1", 0,
+                                           batch_window_ms=5.0)
+    # pre-compile the bucket sizes the fused cohorts will hit
+    for b in (2, 4, 8):
+        imgs, cond = _rand_inputs(cfg, b)
+        served(imgs, cond)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        res = run_loadtest(f"http://127.0.0.1:{httpd.server_address[1]}",
+                           concurrency=3, requests=6, batch=2, warmup=1)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    assert res["requests_err"] == 0
+    assert res["requests_ok"] == 6
+    assert res["p50_ms"] is not None and res["p50_ms"] > 0
+    assert res["p99_ms"] >= res["p50_ms"]
+    assert res["value"] > 0                       # rows/s
+    # 6 timed requests + 1 warmup; coalescing can only fuse, never split
+    assert 1 <= res["device_dispatches"] <= 7
+    assert res["batch_window_ms"] == 5.0
