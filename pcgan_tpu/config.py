@@ -323,6 +323,12 @@ class RunConfig:
     # default (FID is the reference-parity metric); beyond-reference opt-in.
     prdc: bool = False
     prdc_k: int = 5                  # k-NN neighborhood size (prdc-pkg default)
+    # Inception Score (ops/is_score.py, Salimans 2016): classifier-head
+    # softmax over the SAME retained fake features (zero extra forwards);
+    # faithful with --fid_features pth:<inception .pth> (imports its fc.*),
+    # seeded-random head under --fid_features random (smoke only).
+    is_score: bool = False
+    is_splits: int = 10              # published protocol: mean +/- std over 10
     # SSIM identity preservation (ops/ssim.py): mean SSIM between each input
     # face and its age-translated output, from the same eval pass — the
     # label-free identity-drift proxy face-aging papers report
@@ -593,6 +599,8 @@ _FLAG_MAP = {
     "kid_subset_size": ("run", "kid_subset_size"),
     "prdc": ("run", "prdc"),
     "prdc_k": ("run", "prdc_k"),
+    "is_score": ("run", "is_score"),
+    "is_splits": ("run", "is_splits"),
     "ssim": ("run", "ssim"),
     "lpips": ("run", "lpips"),
     "lpips_vgg16": ("run", "lpips_vgg16"),
@@ -709,6 +717,15 @@ _FLAG_HELP = {
             "Beyond-reference opt-in",
     "prdc_k": "with --prdc: k-NN neighborhood size (needs eval budget > k "
               "per side; 5 = the reference prdc package default)",
+    "is_score": "also report the Inception Score (Salimans 2016) of the "
+                "generated images: exp(E KL(p(y|x) || p(y))) over the "
+                "classifier head applied to the same retained fake "
+                "features (is_mean/is_std). Faithful with --fid_features "
+                "pth:<inception .pth> (imports its fc.*); random features "
+                "get a seeded random head (smoke only). Beyond-reference "
+                "opt-in",
+    "is_splits": "with --is_score: number of chunks the mean/std protocol "
+                 "splits the fakes into (published default 10)",
     "lpips": "also report mean lpips-vgg distance between each input face "
              "and its aged output (Zhang 2018) — the calibrated perceptual "
              "twin of --ssim, from the same eval pass; needs --lpips_vgg16",

@@ -83,9 +83,29 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
     if per_bin and score_mode:
         raise ValueError("--fid_per_bin needs discrete age bins "
                          "(cond_mode=onehot); score mode has no bins")
-    # all three need raw feature rows kept on device
-    retain = kid_on or per_bin or prdc_on
+    is_on = cfg.run.is_score
+    # all of these need raw feature rows kept on device
+    retain = kid_on or per_bin or prdc_on or is_on
     feature_fn, d = make_feature_extractor(cfg, comparator)
+    is_head = None
+    if is_on:
+        # --is_score (ops/is_score.py): classifier-head softmax over the
+        # retained FAKE features — zero extra forwards. The head must come
+        # from the same space the features live in.
+        from pcgan_tpu.ops import is_score as is_ops
+        spec = cfg.run.fid_features
+        if spec.startswith("pth:"):
+            is_head = is_ops.load_inception_fc(spec[len("pth:"):])
+        elif spec == "random":
+            is_head = is_ops.random_fc(d)
+            print("WARNING: --is_score with --fid_features random — seeded "
+                  "random classifier head (smoke/CI only, not comparable "
+                  "to published IS)", flush=True)
+        else:
+            raise ValueError(
+                "--is_score needs an Inception classifier head: use "
+                "--fid_features pth:<inception .pth> (or random for a "
+                "smoke run); the comparator trunk has no class labels")
     frozen_real = None
     if cfg.run.fid_stats:
         # --fid_stats: 'fid' is measured against a FROZEN precomputed
@@ -311,6 +331,16 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
                 out.update(_per_bin_fid(
                     bufs[0][:count], bufs[2][:count],
                     bufs[1][:count], bufs[3][:count], nb))
+            if is_on and count >= 1:
+                from pcgan_tpu.ops.is_score import inception_score_from_probs
+                w, b = is_head
+                probs = jax.nn.softmax(
+                    bufs[1][:count] @ jnp.asarray(w).T + jnp.asarray(b),
+                    axis=-1)
+                m, s = inception_score_from_probs(
+                    np.asarray(jax.device_get(probs)),
+                    splits=cfg.run.is_splits)
+                out["is_mean"], out["is_std"] = m, s
             if prdc_on:
                 k = cfg.run.prdc_k
                 if count > k:
