@@ -150,6 +150,13 @@ class TrainConfig:
     # stabilizer; typically lr_d > lr). 0 = D shares --lr = reference
     # parity. Same decay shape and state tree; checkpoints cross-load.
     lr_d: float = 0.0
+    # defer each print point's metric fetch to the NEXT print point so the
+    # device_get never drains the dispatch pipeline (tunneled/remote PJRT
+    # hosts pay ~a step of bubble per sync; direct-attached hardware pays
+    # ~nothing either way). Values/step labels stay exact; imgs/s is one
+    # cadence stale; the epoch's last point flushes at the boundary.
+    # Beyond-reference opt-in; off = parity print timing.
+    metrics_lag: bool = False
     beta1: float = 0.5
     beta2: float = 0.999
     gan_mode: str = "lsgan"          # vanilla | lsgan | wgangp | hinge
@@ -551,6 +558,7 @@ _FLAG_MAP = {
     # train options
     "lr": ("train", "lr"),
     "lr_d": ("train", "lr_d"),
+    "metrics_lag": ("train", "metrics_lag"),
     "beta1": ("train", "beta1"),
     "gan_mode": ("train", "gan_mode"),
     "lambda_L1": ("train", "lambda_L1"),
@@ -645,6 +653,13 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "metrics_lag": "defer each print point's metric fetch to the NEXT "
+                   "print point so the device_get never drains the device "
+                   "dispatch pipeline — recovers the per-print sync bubble "
+                   "on tunneled/remote PJRT hosts (measured ~a step per "
+                   "print). Values and step labels stay exact; the imgs/s "
+                   "column is one print-cadence stale. Beyond-reference "
+                   "opt-in; off = parity print timing",
     "num_D": "with --netD multiscale: number of PatchGAN discriminators "
              "(pix2pixHD, Wang 2018) — D_k scores a 2^k-mean-pooled view; "
              "per-scale losses average so --lambda_* weights transfer. "

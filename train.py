@@ -327,6 +327,25 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         plateau.bad_epochs = int(jax.device_get(state.plateau_bad))
 
     gstep = int(state.step)
+    # --metrics_lag: pending (gstep, metrics, epoch) whose device fetch is
+    # deferred to the NEXT print point — by then the device has print_freq
+    # further steps queued behind it, so the fetch never drains the
+    # dispatch pipeline (each print-point device_get otherwise costs ~a
+    # step of bubble over tunneled/remote PJRT; docs/perf_notes.md r3
+    # "CLI-vs-bench rate attribution"). Values/labels stay exact; the
+    # imgs/s column is the CURRENT window's rate (one cadence stale).
+    pending = None
+
+    def _log_pending(rate):
+        nonlocal pending
+        g, m, ep = pending
+        pending = None
+        host_metrics = jax.device_get(m)
+        epoch_losses.append(float(host_metrics["loss_G"]))
+        logger.log(g, {k: float(v) for k, v in host_metrics.items()},
+                   epoch=ep, imgs_per_sec=rate,
+                   lr=float(sched(g)) * lr_scale)
+
     for epoch in range(t.epoch_count + epochs_done, total_epochs + 1):
         epoch_t0 = time.time()
         epoch_losses, resume_losses = resume_losses, []
@@ -340,17 +359,24 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             if gstep % t.display_freq == 0:
                 display(state, raw, epoch)
             if gstep % t.print_freq == 0:
-                # ONE device_get for all metrics: it both syncs the step
-                # (block_until_ready does not wait under the axon tunnel)
-                # and avoids a host round-trip per scalar
-                host_metrics = jax.device_get(metrics)
-                rate = timer.rate()
-                epoch_losses.append(float(host_metrics["loss_G"]))
-                logger.log(gstep,
-                           {k: float(v) for k, v in host_metrics.items()},
-                           epoch=epoch, imgs_per_sec=rate,
-                           lr=float(sched(gstep)) * lr_scale)
-                timer.start()
+                if t.metrics_lag:
+                    rate = timer.rate()
+                    if pending is not None:
+                        _log_pending(rate)
+                    pending = (gstep, metrics, epoch)
+                    timer.start()
+                else:
+                    # ONE device_get for all metrics: it both syncs the step
+                    # (block_until_ready does not wait under the axon tunnel)
+                    # and avoids a host round-trip per scalar
+                    host_metrics = jax.device_get(metrics)
+                    rate = timer.rate()
+                    epoch_losses.append(float(host_metrics["loss_G"]))
+                    logger.log(gstep,
+                               {k: float(v) for k, v in host_metrics.items()},
+                               epoch=epoch, imgs_per_sec=rate,
+                               lr=float(sched(gstep)) * lr_scale)
+                    timer.start()
             if t.save_latest_freq > 0 and gstep % t.save_latest_freq == 0:
                 # reference semantics: 'latest' every save_latest_freq ITERS,
                 # mid-epoch included — with the exact-resume machinery a
@@ -364,6 +390,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 save_g(state, "latest")
                 _write_host_sidecar(run_dir, gstep, epoch_losses)
         resume_skip = 0
+        if pending is not None:
+            # epoch boundary: flush the deferred point so every epoch's
+            # metrics.jsonl slice and plateau average stay self-contained
+            # (epoch-end checkpoints/eval sync the pipeline anyway)
+            _log_pending(timer.rate())
         if plateau is not None and metrics is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             metric = (float(np.mean(epoch_losses)) if epoch_losses
