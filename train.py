@@ -332,15 +332,24 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     # further steps queued behind it, so the fetch never drains the
     # dispatch pipeline (each print-point device_get otherwise costs ~a
     # step of bubble over tunneled/remote PJRT; docs/perf_notes.md r3
-    # "CLI-vs-bench rate attribution"). Values/labels stay exact; the
-    # imgs/s column is the CURRENT window's rate (one cadence stale).
+    # "CLI-vs-bench rate attribution"). Values/labels stay exact. The
+    # imgs/s column must be measured fetch-to-fetch (each device_get
+    # anchors to the FETCHED step's completion): a wall window that ends
+    # before a sync would time enqueue speed, not the device.
     pending = None
+    lag_anchor = {"t": None, "g": 0}
 
-    def _log_pending(rate):
+    def _log_pending():
         nonlocal pending
         g, m, ep = pending
         pending = None
-        host_metrics = jax.device_get(m)
+        host_metrics = jax.device_get(m)     # anchors: step g is complete
+        now = time.time()
+        rate = None
+        if lag_anchor["t"] is not None and g > lag_anchor["g"]:
+            rate = ((g - lag_anchor["g"]) * cfg.data.batch_size
+                    / max(now - lag_anchor["t"], 1e-9))
+        lag_anchor.update(t=now, g=g)
         epoch_losses.append(float(host_metrics["loss_G"]))
         logger.log(g, {k: float(v) for k, v in host_metrics.items()},
                    epoch=ep, imgs_per_sec=rate,
@@ -351,6 +360,10 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         epoch_losses, resume_losses = resume_losses, []
         metrics = None
         timer.start()
+        # epoch top = after boundary ckpt/eval host work: re-anchor the lag
+        # window so the epoch's first logged rate measures steps, not the
+        # boundary (same semantics as the eager path's timer.start() here)
+        lag_anchor.update(t=time.time(), g=gstep)
         for raw in _epoch_iter(cfg, ld, mesh, skip=resume_skip):
             _profile_tick(profiling, run_dir)
             state, metrics = step_fn(state, raw)
@@ -360,11 +373,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 display(state, raw, epoch)
             if gstep % t.print_freq == 0:
                 if t.metrics_lag:
-                    rate = timer.rate()
                     if pending is not None:
-                        _log_pending(rate)
+                        _log_pending()
                     pending = (gstep, metrics, epoch)
-                    timer.start()
                 else:
                     # ONE device_get for all metrics: it both syncs the step
                     # (block_until_ready does not wait under the axon tunnel)
@@ -394,7 +405,7 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             # epoch boundary: flush the deferred point so every epoch's
             # metrics.jsonl slice and plateau average stay self-contained
             # (epoch-end checkpoints/eval sync the pipeline anyway)
-            _log_pending(timer.rate())
+            _log_pending()
         if plateau is not None and metrics is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             metric = (float(np.mean(epoch_losses)) if epoch_losses
