@@ -77,9 +77,10 @@ def main(argv=None):
         raise SystemExit(f"--prdc needs --num_test > --prdc_k "
                          f"({cfg.run.prdc_k}), got {cfg.run.num_test}")
     if (cfg.run.kid or cfg.run.fid_per_bin or cfg.run.prdc
-            ) and cfg.run.num_test <= 0:
-        raise SystemExit("--kid/--fid_per_bin/--prdc need a finite --num_test "
-                         "budget (>0) to size their feature buffers")
+            or cfg.run.is_score) and cfg.run.num_test <= 0:
+        raise SystemExit("--kid/--fid_per_bin/--prdc/--is_score need a finite "
+                         "--num_test budget (>0) to size their feature "
+                         "buffers")
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
     ds = data_loader.create_dataset(cfg, train=False)
     # multi-process pods: each host loads a disjoint per-host slice that

@@ -283,9 +283,10 @@ class ParallelConfig:
     zero1: bool = False
     # ICI x DCN hybrid mesh (multislice growth path): the data axis factors
     # granule-major over this many DCN-connected granules (TPU slices; or
-    # processes where slice metadata is absent), so only the per-step
-    # gradient all-reduce crosses DCN and every per-layer collective
-    # (spatial halos, model gathers, ZeRO-1 scatters) stays on ICI.
+    # processes where slice metadata is absent), so only data-axis
+    # collectives (one gradient-sized reduction per step; with --zero1 the
+    # equivalent reduce-scatter + all-gather pair) cross DCN, and every
+    # per-layer collective (spatial halos, model gathers) stays on ICI.
     # 1 = single-slice (all axes ICI) = default.
     dcn_data: int = 1
 
@@ -656,10 +657,12 @@ _FLAG_HELP = {
     "metrics_lag": "defer each print point's metric fetch to the NEXT "
                    "print point so the device_get never drains the device "
                    "dispatch pipeline — recovers the per-print sync bubble "
-                   "on tunneled/remote PJRT hosts (measured ~a step per "
-                   "print). Values and step labels stay exact; the imgs/s "
-                   "column is one print-cadence stale. Beyond-reference "
-                   "opt-in; off = parity print timing",
+                   "on tunneled/remote PJRT hosts (measured +34% at "
+                   "--print_freq 1). Values and step labels stay exact; "
+                   "the imgs/s column is one print-cadence stale. GAN "
+                   "training loop only (comparator pretraining prints "
+                   "eagerly). Beyond-reference opt-in; off = parity "
+                   "print timing",
     "num_D": "with --netD multiscale: number of PatchGAN discriminators "
              "(pix2pixHD, Wang 2018) — D_k scores a 2^k-mean-pooled view; "
              "per-scale losses average so --lambda_* weights transfer. "
@@ -674,11 +677,12 @@ _FLAG_HELP = {
              "data,model. Beyond-reference opt-in; needs a data axis > 1",
     "dcn_data": "multislice hybrid mesh: factor the data axis granule-major "
                 "over this many DCN-connected granules (TPU slices; "
-                "processes where slice metadata is absent) so ONLY the "
-                "per-step gradient all-reduce crosses DCN — spatial halos, "
-                "model-axis gathers and ZeRO-1 scatters stay on ICI. Must "
-                "equal the slice count and divide the data axis. 1 = "
-                "single-slice = default",
+                "processes where slice metadata is absent) so ONLY "
+                "data-axis collectives (one gradient-sized reduction per "
+                "step; with --zero1 the equivalent reduce-scatter + "
+                "all-gather pair) cross DCN — spatial halos and model-axis "
+                "gathers stay on ICI. Must equal the slice count and "
+                "divide the data axis. 1 = single-slice = default",
     "spectral_norm": "spectral normalization of every discriminator conv "
                      "(SN-GAN, Miyato 2018): kernels divided by their "
                      "largest singular value, one power-iteration step per "

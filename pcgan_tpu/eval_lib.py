@@ -96,6 +96,13 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         spec = cfg.run.fid_features
         if spec.startswith("pth:"):
             is_head = is_ops.load_inception_fc(spec[len("pth:"):])
+            if is_head[0].shape[1] != d:
+                # both dims are known at startup — fail here, not after the
+                # first full eval pass
+                raise ValueError(
+                    f"--is_score: fc head input dim {is_head[0].shape[1]} "
+                    f"!= the feature trunk's {d} (not the matching "
+                    f"InceptionV3 checkpoint?)")
         elif spec == "random":
             is_head = is_ops.random_fc(d)
             print("WARNING: --is_score with --fid_features random — seeded "
@@ -267,9 +274,9 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
         n_proc = jax.process_count() if mesh is not None else 1
         proc_idx = jax.process_index() if mesh is not None else 0
         if retain and not max_images:
-            raise ValueError("--kid/--fid_per_bin/--prdc need a finite eval "
-                             "budget (max_images > 0) to size the feature "
-                             "buffers")
+            raise ValueError("--kid/--fid_per_bin/--prdc/--is_score need a "
+                             "finite eval budget (max_images > 0) to size "
+                             "the feature buffers")
         seen = 0
         bufs = None
         for raw in raw_iter:

@@ -62,14 +62,18 @@ def make_hybrid_mesh(mesh_shape: Sequence[int] = (-1,),
                      granule_of=None) -> Mesh:
     """ICI x DCN hybrid mesh (--dcn_data): the DATA axis factors
     granule-major over ``dcn_data`` DCN-connected device granules (TPU
-    slices, or processes as the test proxy), so ONLY the data-parallel
-    collectives — one gradient all-reduce per step, the cheapest and most
+    slices, or processes as the test proxy), so ONLY data-axis collectives
+    — one gradient-sized reduction per step, the cheapest and most
     overlappable traffic — cross DCN, while every per-layer collective
-    (spatial conv halos, model-axis gathers, ZeRO-1 reduce-scatters) stays
-    inside a granule on ICI. This is the standard multislice recipe
-    (scaling-book "pick the mesh so collectives ride ICI"); SURVEY.md SS3.2
-    scopes DCN out for the v5e-8 target, so this is the beyond-reference
-    growth path past one slice.
+    (spatial conv halos, model-axis gathers) stays inside a granule on
+    ICI. Composing ``--zero1`` keeps the same DCN byte volume but changes
+    its shape: the optimizer trees shard over the FULL data axis, so the
+    per-step traffic crossing DCN is reduce-scatter(grads) +
+    all-gather(delta) — together the same bytes as the plain gradient
+    all-reduce they replace, not extra parameter traffic. This is the
+    standard multislice recipe (scaling-book "pick the mesh so collectives
+    ride ICI"); SURVEY.md SS3.2 scopes DCN out for the v5e-8 target, so
+    this is the beyond-reference growth path past one slice.
 
     ``granule_of`` overrides the granule id per device (tests / dryruns on
     single-process virtual meshes, where neither slice_index nor
@@ -94,16 +98,17 @@ def make_hybrid_mesh(mesh_shape: Sequence[int] = (-1,),
             f"--dcn_data {dcn_data}: found {len(groups)} DCN granule(s) "
             f"({sorted(map(str, groups))}) — dcn_data must equal the number "
             f"of slices (or processes, on platforms without slice metadata)")
-    sizes = {len(v) for v in groups.values()}
-    if len(sizes) != 1:
-        raise ValueError(f"uneven DCN granules: {sorted(sizes)} devices")
     inner = list(shape)
     inner[dpos] = shape[dpos] // dcn_data
     per = int(np.prod(inner))
-    if per != sizes.pop():
-        raise ValueError(f"mesh {shape} needs {per} devices per granule, "
-                         f"granules have {len(next(iter(groups.values())))}")
-    blocks = [np.asarray(groups[g]).reshape(inner) for g in sorted(groups)]
+    short = {str(g): len(v) for g, v in groups.items() if len(v) < per}
+    if short:
+        raise ValueError(f"mesh {shape} needs {per} devices per granule; "
+                         f"granules short of that: {short}")
+    # a granule may hold MORE devices than the mesh uses — take the first
+    # `per` of each (the subset behavior make_mesh has via devices[:n])
+    blocks = [np.asarray(groups[g][:per]).reshape(inner)
+              for g in sorted(groups)]
     return Mesh(np.concatenate(blocks, axis=dpos), mesh_axes)
 
 

@@ -53,6 +53,21 @@ def test_constructor_errors_are_loud():
                          granule_of=lambda d: d.id % 3)
 
 
+def test_subsets_oversized_granules_like_make_mesh():
+    """A mesh smaller than the device count takes the first `per` devices
+    of each granule (make_mesh's devices[:n] behavior) instead of erroring;
+    too-small granules still fail loudly."""
+    mesh = make_hybrid_mesh((4,), ("data",), dcn_data=2,
+                            granule_of=lambda d: d.id % 2)
+    ids = [d.id for d in mesh.devices.flat]
+    assert ids == [0, 2, 1, 3]           # first 2 of granule 0, then of 1
+    with pytest.raises(ValueError, match="short"):
+        # granules of 4 and 2 devices cannot serve 3 rows each
+        make_hybrid_mesh((6,), ("data",), dcn_data=2,
+                         devices=jax.devices()[:6],
+                         granule_of=lambda d: d.id // 4)
+
+
 def test_mesh_from_config_dispatch():
     plain = mesh_from_config(ParallelConfig())
     ref = make_mesh((-1,), ("data",))

@@ -55,12 +55,16 @@ def run_loadtest(url: str, concurrency: int, requests: int, batch: int,
                  warmup: int = 2, timeout: float = 120.0) -> dict:
     client = ServingClient(url, timeout=timeout)
     meta = client.healthz()["meta"]
-    stats0 = client.stats()
 
     for i in range(warmup):
         client.generate(*_payload(meta, batch, seed=10_000 + i))
+    # snapshot AFTER warmup so the dispatch delta covers only the timed
+    # concurrent stream (warmup requests are sequential and never fuse)
+    stats0 = client.stats()
 
-    per_worker = max(1, requests // concurrency)
+    # distribute --requests exactly: worker w takes base + 1 spillover
+    base, extra = divmod(requests, concurrency)
+    per_worker = [base + (1 if w < extra else 0) for w in range(concurrency)]
     latencies, errors = [], []
     lock = threading.Lock()
     start_gate = threading.Barrier(concurrency + 1)
@@ -69,7 +73,7 @@ def run_loadtest(url: str, concurrency: int, requests: int, batch: int,
         c = ServingClient(url, timeout=timeout)
         images, cond = _payload(meta, batch, seed=wid)
         start_gate.wait()
-        for i in range(per_worker):
+        for i in range(per_worker[wid]):
             t0 = time.perf_counter()
             try:
                 out = c.generate(images, cond)

@@ -64,22 +64,19 @@ def combo_name(base: str, combo) -> str:
 
 def last_metrics(run_dir: str):
     """Last record of metrics.jsonl (train keys merged with the latest
-    eval record when present), or None."""
-    path = os.path.join(run_dir, "metrics.jsonl")
-    last_train, last_eval = None, {}
+    eval record when present), or None. Line parsing delegates to
+    loss_plot.read_metrics (torn-tail tolerance lives in ONE place)."""
+    from pcgan_tpu.utils.loss_plot import read_metrics
     try:
-        with open(path) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if any(k.startswith("eval_") for k in rec):
-                    last_eval = rec
-                else:
-                    last_train = rec
+        records = read_metrics(os.path.join(run_dir, "metrics.jsonl"))
     except OSError:
         return None
+    last_train, last_eval = None, {}
+    for rec in records:
+        if any(k.startswith("eval_") for k in rec):
+            last_eval = rec
+        else:
+            last_train = rec
     if last_train is None and not last_eval:
         return None
     out = dict(last_train or {})

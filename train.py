@@ -65,6 +65,10 @@ def main(argv=None):
     if cfg.model.model == "comparator":
         # comparator pretraining builds its own PAIRWISE loader (with a
         # held-out split) — see _train_comparator
+        if cfg.train.metrics_lag:
+            print("--metrics_lag applies to the GAN training loop; "
+                  "comparator pretraining prints eagerly (ignored)",
+                  flush=True)
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
@@ -258,11 +262,11 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
         from pcgan_tpu.data.loader import make_process_loader, with_bins
         from pcgan_tpu.eval_lib import make_fid_evaluator
         if (cfg.run.kid or cfg.run.fid_per_bin or cfg.run.prdc
-                ) and t.eval_fid_images <= 0:
+                or cfg.run.is_score) and t.eval_fid_images <= 0:
             # fail at startup, not hours in at the first epoch-end eval
             raise SystemExit(
-                "--kid/--fid_per_bin/--prdc need a finite --eval_fid_images "
-                "budget (>0) to size their feature buffers")
+                "--kid/--fid_per_bin/--prdc/--is_score need a finite "
+                "--eval_fid_images budget (>0) to size their feature buffers")
         if cfg.run.prdc and t.eval_fid_images <= cfg.run.prdc_k:
             raise SystemExit(
                 f"--prdc needs --eval_fid_images > --prdc_k "
@@ -395,6 +399,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 # resumed run replays the epoch's permutation and skips the
                 # consumed batches). Saves snapshot to host then write async,
                 # so the device pipeline only pays one sync here.
+                if pending is not None:
+                    # --metrics_lag: the save + sidecar below must not be
+                    # written with the pending point's metrics/loss missing
+                    # — a preemption right after would lose that record
+                    # forever (resume replays past its step). The save's
+                    # own host snapshot syncs the pipeline anyway.
+                    _log_pending()
                 last_latest_save = gstep
                 ckpt.save(state, cfg.run.checkpoints_dir, cfg.run.name,
                           "latest")
