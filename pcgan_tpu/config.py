@@ -357,6 +357,13 @@ class RunConfig:
     # only; beyond-reference opt-in.
     fid_per_bin: bool = False
     verbose: bool = False
+    # TensorBoard mirroring ("" = off): every metrics.jsonl scalar is also
+    # written as a standard events.out.tfevents.* file under
+    # <tb_logdir>/<name>/ (stdlib encoder, utils/tb_writer.py — no
+    # tensorflow/tensorboard runtime dependency). Point `tensorboard
+    # --logdir <tb_logdir>` at it; beyond-reference opt-in (the reference
+    # logs to visdom + loss_log.txt).
+    tb_logdir: str = ""
     # persistent XLA compilation-cache directory ("" = off): compiled
     # executables are reused across processes — the second run of the same
     # config skips XLA compilation (measured: 128px train first-step
@@ -616,6 +623,7 @@ _FLAG_MAP = {
     "lpips_lins": ("run", "lpips_lins"),
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
+    "tb_logdir": ("run", "tb_logdir"),
     "compile_cache": ("run", "compile_cache"),
     "xla_opt": ("run", "xla_opt"),
     "debug_nans": ("run", "debug_nans"),
@@ -654,6 +662,10 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "tb_logdir": "mirror every logged scalar into a TensorBoard event file "
+                 "under <tb_logdir>/<name>/ (stdlib tfevents encoder; no "
+                 "tensorflow dependency). metrics.jsonl remains the source "
+                 "of truth; beyond-reference opt-in ('' = off)",
     "metrics_lag": "defer each print point's metric fetch to the NEXT "
                    "print point so the device_get never drains the device "
                    "dispatch pipeline — recovers the per-print sync bubble "

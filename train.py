@@ -61,7 +61,9 @@ def main(argv=None):
         raise SystemExit(f"--batch_size {cfg.data.batch_size} must be "
                          f"divisible by the mesh data axis ({n_data})")
 
-    logger = MetricsLogger(run_dir)
+    tb_dir = (os.path.join(cfg.run.tb_logdir, cfg.run.name)
+              if cfg.run.tb_logdir else "")
+    logger = MetricsLogger(run_dir, tb_logdir=tb_dir)
     if cfg.model.model == "comparator":
         # comparator pretraining builds its own PAIRWISE loader (with a
         # held-out split) — see _train_comparator
