@@ -45,17 +45,22 @@ def _npz_bytes(**arrays) -> bytes:
 
 class ServingClient:
     def __init__(self, base_url: str = "http://127.0.0.1:8500",
-                 timeout: float = 120.0):
+                 timeout: float = 120.0, auth_token: str = ""):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        # serve_http --auth_token: sent as 'Authorization: Bearer <token>'
+        # on every request ("" = none)
+        self.auth_token = auth_token
 
     # ---- plumbing -------------------------------------------------------- #
 
     def _request(self, path: str, body: Optional[bytes] = None,
                  content_type: str = "application/octet-stream") -> bytes:
+        headers = {"Content-Type": content_type} if body else {}
+        if self.auth_token:
+            headers["Authorization"] = f"Bearer {self.auth_token}"
         req = urllib.request.Request(
-            self.base_url + path, data=body,
-            headers={"Content-Type": content_type} if body else {})
+            self.base_url + path, data=body, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return r.read()

@@ -796,3 +796,61 @@ def test_loadtest_tool_against_live_host(tmp_path):
     # only fuse, never split
     assert 1 <= res["device_dispatches"] <= 6
     assert res["batch_window_ms"] == 5.0
+
+
+def test_http_server_auth_token(tmp_path):
+    """--auth_token: every route except GET / and GET /healthz requires
+    'Authorization: Bearer <token>'; the stdlib client sends it."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.request
+    import urllib.error
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve_http
+    from pcgan_tpu.client import ServingClient, ServingError
+
+    cfg = _tiny_cfg()
+    G, v = _init_g(cfg)
+    from pcgan_tpu.serving import export_generator
+    export_generator(cfg, v, str(tmp_path), G=G)
+    httpd, _ = serve_http.make_server(str(tmp_path), "127.0.0.1", 0,
+                                      auth_token="sekrit")
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # open routes: demo page + healthz (readiness probes)
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert jsonlib.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+            assert r.status == 200
+
+        # everything else 401s without (or with a wrong) token
+        imgs, cond = _rand_inputs(cfg, 2)
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs, cond=cond)
+        for headers in ({}, {"Authorization": "Bearer wrong"},
+                        {"Authorization": "sekrit"}):
+            req = urllib.request.Request(f"{base}/generate",
+                                         data=buf.getvalue(),
+                                         headers=headers, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/metrics", timeout=30)
+        assert ei.value.code == 401
+
+        # the client with the right token reaches every surface
+        cl = ServingClient(base, auth_token="sekrit")
+        out = cl.generate(imgs, cond)
+        assert out.shape == imgs.shape
+        assert "pcgan_requests_total" in cl.metrics()
+        with pytest.raises(ServingError) as se:
+            ServingClient(base, auth_token="nope").generate(imgs, cond)
+        assert se.value.status == 401
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

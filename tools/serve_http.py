@@ -39,7 +39,11 @@ padded to power-of-two buckets (bounded compiled-shape count — at most
 log2(max_batch) sizes). Latency-critical fleets can instead export with
 ``--fixed_batch`` (requests pad + slice to one compiled shape).
 
-Demo/reference implementation: no TLS/auth (binds 127.0.0.1 by default).
+Auth: ``--auth_token TOKEN`` (or env PCGAN_SERVE_TOKEN) requires
+``Authorization: Bearer TOKEN`` on every route except GET / (demo page —
+it has a token field) and GET /healthz (load-balancer readiness probes
+stay unauthenticated by convention); comparison is constant-time. No TLS
+(terminate at a fronting proxy); binds 127.0.0.1 by default.
 """
 
 from __future__ import annotations
@@ -263,6 +267,8 @@ _DEMO_HTML = """<!doctype html>
 <fieldset>
   <legend>input face</legend>
   <input type="file" id="file" accept="image/jpeg,image/png">
+  <input type="password" id="token" placeholder="auth token (if required)"
+         autocomplete="off" style="margin-left:1rem">
 </fieldset>
 <fieldset>
   <legend>mode</legend>
@@ -323,7 +329,9 @@ $("go").addEventListener("click", async () => {
   $("go").disabled = true;
   const t0 = performance.now();
   try {
-    const r = await fetch(url, { method: "POST", body: f });
+    const hdrs = $("token").value
+      ? { "Authorization": "Bearer " + $("token").value } : {};
+    const r = await fetch(url, { method: "POST", body: f, headers: hdrs });
     if (!r.ok) throw new Error((await r.json()).error || r.status);
     const blob = await r.blob();
     $("result").innerHTML = "";
@@ -366,7 +374,9 @@ def _warmup(served, b: int):
 
 
 def make_server(artifact_dir: str, host: str, port: int,
-                batch_window_ms: float = 0.0, warmup_batch: int = 0):
+                batch_window_ms: float = 0.0, warmup_batch: int = 0,
+                auth_token: str = ""):
+    import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from pcgan_tpu.serving import load_exported
 
@@ -421,6 +431,20 @@ def make_server(artifact_dir: str, host: str, port: int,
         def _json(self, code: int, obj):
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
+        def _authorized(self) -> bool:
+            """Bearer-token check (constant-time). Open routes: GET /
+            (demo page carries a token field) and GET /healthz
+            (readiness probes)."""
+            if not auth_token:
+                return True
+            got = self.headers.get("Authorization", "")
+            ok = got.startswith("Bearer ") and hmac.compare_digest(
+                got[len("Bearer "):], auth_token)
+            if not ok:
+                self._json(401, {"error": "missing or invalid bearer token "
+                                          "(Authorization: Bearer <token>)"})
+            return ok
+
         def do_GET(self):
             if self.path in ("/", "/demo"):
                 # self-contained browser demo over the raw-image routes —
@@ -432,6 +456,8 @@ def make_server(artifact_dir: str, host: str, port: int,
                 return self._json(200, {
                     "status": "ok", "meta": current["served"].meta,
                     "artifact_dir": current["artifact_dir"]})
+            if not self._authorized():
+                return
             if self.path == "/metrics":
                 # Prometheus text exposition format — the standard scrape
                 # surface for production monitoring; same counters as /stats
@@ -466,6 +492,8 @@ def make_server(artifact_dir: str, host: str, port: int,
             self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if not self._authorized():
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
@@ -592,14 +620,23 @@ def main(argv=None):
     p.add_argument("--warmup_batch", type=int, default=0,
                    help="compile a batch of this size before accepting "
                         "traffic (0 = skip)")
+    p.add_argument("--auth_token", default="",
+                   help="require 'Authorization: Bearer <token>' on every "
+                        "route except GET / and GET /healthz; defaults to "
+                        "env PCGAN_SERVE_TOKEN ('' = open)")
     args = p.parse_args(argv)
+    if not args.auth_token:
+        args.auth_token = os.environ.get("PCGAN_SERVE_TOKEN", "")
 
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
 
     httpd, served = make_server(args.artifact_dir, args.host, args.port,
                                 batch_window_ms=args.batch_window_ms,
-                                warmup_batch=args.warmup_batch)
+                                warmup_batch=args.warmup_batch,
+                                auth_token=args.auth_token)
+    if args.auth_token:
+        print("bearer-token auth enabled", flush=True)
     if args.warmup_batch > 0:
         _warmup(served, args.warmup_batch)
         print(f"warmed up batch {args.warmup_batch}", flush=True)
