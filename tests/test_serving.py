@@ -854,3 +854,64 @@ def test_http_server_auth_token(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_server_watch_autoreload(tmp_path):
+    """--watch_seconds: a re-export landing in the served artifact dir is
+    picked up automatically (meta.json mtime is the commit marker) — the
+    continuous-deployment loop needs no operator POST /reload."""
+    import io
+    import threading
+    import time
+    import urllib.request
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import jax
+    import serve_http
+    from pcgan_tpu.models.registry import init_params
+    from pcgan_tpu.serving import export_generator, load_exported
+    import jax.numpy as jnp
+
+    cfg = _tiny_cfg()
+    G, v1 = _init_g(cfg)
+    v2 = init_params(G, jax.random.PRNGKey(99),
+                     jnp.zeros((1, 32, 32, 3)),
+                     jnp.zeros((1, cfg.cond_nc)), train=False)
+    live = tmp_path / "live"
+    export_generator(cfg, v1, str(live), G=G)
+
+    httpd, _ = serve_http.make_server(str(live), "127.0.0.1", 0,
+                                      watch_seconds=0.2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    imgs, cond = _rand_inputs(cfg, 2)
+    buf = io.BytesIO()
+    np.savez(buf, images=imgs, cond=cond)
+    payload = buf.getvalue()
+
+    def generate():
+        req = urllib.request.Request(f"{base}/generate", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.load(io.BytesIO(r.read()))
+
+    try:
+        want_a = load_exported(str(live))(imgs, cond)
+        np.testing.assert_allclose(generate(), want_a, atol=1e-6)
+
+        export_generator(cfg, v2, str(live), G=G)   # re-export IN PLACE
+        want_b = load_exported(str(live))(imgs, cond)
+        assert np.abs(want_a - want_b).max() > 1e-3
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if np.allclose(generate(), want_b, atol=1e-6):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("watcher never swapped to the re-export")
+    finally:
+        httpd.watch_stop.set()
+        httpd.shutdown()
+        httpd.server_close()

@@ -52,8 +52,9 @@ def _payload(meta: dict, batch: int, seed: int):
 
 
 def run_loadtest(url: str, concurrency: int, requests: int, batch: int,
-                 warmup: int = 2, timeout: float = 120.0) -> dict:
-    client = ServingClient(url, timeout=timeout)
+                 warmup: int = 2, timeout: float = 120.0,
+                 auth_token: str = "") -> dict:
+    client = ServingClient(url, timeout=timeout, auth_token=auth_token)
     meta = client.healthz()["meta"]
 
     for i in range(warmup):
@@ -70,7 +71,7 @@ def run_loadtest(url: str, concurrency: int, requests: int, batch: int,
     start_gate = threading.Barrier(concurrency + 1)
 
     def worker(wid: int):
-        c = ServingClient(url, timeout=timeout)
+        c = ServingClient(url, timeout=timeout, auth_token=auth_token)
         images, cond = _payload(meta, batch, seed=wid)
         start_gate.wait()
         for i in range(per_worker[wid]):
@@ -131,9 +132,14 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=2,
                    help="untimed warmup requests before the clock starts")
     p.add_argument("--timeout", type=float, default=120.0)
+    p.add_argument("--auth_token", default="",
+                   help="bearer token for a serve_http --auth_token host; "
+                        "defaults to env PCGAN_SERVE_TOKEN")
     args = p.parse_args(argv)
+    token = args.auth_token or os.environ.get("PCGAN_SERVE_TOKEN", "")
     result = run_loadtest(args.url, args.concurrency, args.requests,
-                          args.batch, args.warmup, args.timeout)
+                          args.batch, args.warmup, args.timeout,
+                          auth_token=token)
     print(json.dumps(result))
     return 0 if result["requests_err"] == 0 else 1
 

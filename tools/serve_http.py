@@ -39,6 +39,11 @@ padded to power-of-two buckets (bounded compiled-shape count — at most
 log2(max_batch) sizes). Latency-critical fleets can instead export with
 ``--fixed_batch`` (requests pad + slice to one compiled shape).
 
+``--watch_seconds N`` polls the artifact dir and hot-swaps automatically
+when a re-export lands (meta.json is written last by the exporter, so its
+mtime marks a complete artifact) — the continuous-deployment twin of
+POST /reload; a failed load keeps the old module serving.
+
 Auth: ``--auth_token TOKEN`` (or env PCGAN_SERVE_TOKEN) requires
 ``Authorization: Bearer TOKEN`` on every route except GET / (demo page —
 it has a token field) and GET /healthz (load-balancer readiness probes
@@ -375,7 +380,7 @@ def _warmup(served, b: int):
 
 def make_server(artifact_dir: str, host: str, port: int,
                 batch_window_ms: float = 0.0, warmup_batch: int = 0,
-                auth_token: str = ""):
+                auth_token: str = "", watch_seconds: float = 0.0):
     import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from pcgan_tpu.serving import load_exported
@@ -402,6 +407,55 @@ def make_server(artifact_dir: str, host: str, port: int,
     lock = threading.Lock()
     batcher = (Batcher(batch_window_ms)
                if batch_window_ms > 0 else None)
+
+    def _swap(path: str):
+        """Load + warm the artifact at ``path``, then swap it in (shared by
+        POST /reload and the --watch_seconds poller). The load happens OFF
+        the request lock — traffic keeps serving the old module; the swap
+        itself is one attribute assignment."""
+        new_served = _load_checked(path)
+        # compile BEFORE the swap (measured: the swap is ~instant, but the
+        # first call on a cold artifact pays ~seconds of compile — warming
+        # first makes the reload genuinely zero-downtime)
+        _warmup(new_served, warmup_batch)
+        current["served"] = new_served
+        current["artifact_dir"] = os.path.abspath(path)
+        with stats_lock:
+            stats["reloads"] += 1
+        return new_served
+
+    watch_stop = threading.Event()
+    if watch_seconds > 0:
+        # --watch_seconds: continuous-deployment loop — the trainer
+        # re-exports IN PLACE (tools/export_serving.py writes meta.json
+        # LAST, so its mtime is the commit marker) and the host hot-swaps
+        # without any operator action. A failed load keeps the old module
+        # serving and retries only when the marker changes again.
+        def _sig():
+            try:
+                st = os.stat(os.path.join(current["artifact_dir"],
+                                          "meta.json"))
+                return (st.st_mtime_ns, st.st_size)
+            except OSError:
+                return None
+
+        def _watch():
+            last = _sig()
+            while not watch_stop.wait(watch_seconds):
+                cur = _sig()
+                if cur is None or cur == last:
+                    continue
+                last = cur
+                try:
+                    _swap(current["artifact_dir"])
+                    print(f"watch: reloaded {current['artifact_dir']}",
+                          flush=True)
+                except Exception as e:    # keep serving the old module
+                    print(f"watch: reload failed ({type(e).__name__}: {e});"
+                          f" still serving the previous artifact",
+                          flush=True)
+
+        threading.Thread(target=_watch, daemon=True).start()
 
     def dispatch(images, cond):
         served = current["served"]
@@ -508,17 +562,7 @@ def make_server(artifact_dir: str, host: str, port: int,
                         raise ValueError("/reload body must be a JSON "
                                          "object or empty")
                     path = req.get("artifact_dir", current["artifact_dir"])
-                    new_served = _load_checked(path)
-                    # compile the new module BEFORE the swap (measured: the
-                    # swap itself is ~instant, but the first call on a cold
-                    # artifact pays ~seconds of compile — warming first
-                    # makes the reload genuinely zero-downtime; the old
-                    # module keeps serving meanwhile)
-                    _warmup(new_served, warmup_batch)
-                    current["served"] = new_served
-                    current["artifact_dir"] = os.path.abspath(path)
-                    with stats_lock:
-                        stats["reloads"] += 1
+                    new_served = _swap(path)
                     return self._json(200, {"status": "reloaded",
                                             "artifact_dir":
                                                 current["artifact_dir"],
@@ -604,6 +648,7 @@ def make_server(artifact_dir: str, host: str, port: int,
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.batcher = batcher            # introspection (stats/tests)
     httpd.current = current
+    httpd.watch_stop = watch_stop      # stops the --watch_seconds poller
     return httpd, served
 
 
@@ -624,6 +669,11 @@ def main(argv=None):
                    help="require 'Authorization: Bearer <token>' on every "
                         "route except GET / and GET /healthz; defaults to "
                         "env PCGAN_SERVE_TOKEN ('' = open)")
+    p.add_argument("--watch_seconds", type=float, default=0.0,
+                   help="poll the artifact dir's meta.json every N seconds "
+                        "and hot-swap automatically when a re-export lands "
+                        "(the continuous-deployment twin of POST /reload; "
+                        "0 = off)")
     args = p.parse_args(argv)
     if not args.auth_token:
         args.auth_token = os.environ.get("PCGAN_SERVE_TOKEN", "")
@@ -634,7 +684,8 @@ def main(argv=None):
     httpd, served = make_server(args.artifact_dir, args.host, args.port,
                                 batch_window_ms=args.batch_window_ms,
                                 warmup_batch=args.warmup_batch,
-                                auth_token=args.auth_token)
+                                auth_token=args.auth_token,
+                                watch_seconds=args.watch_seconds)
     if args.auth_token:
         print("bearer-token auth enabled", flush=True)
     if args.warmup_batch > 0:
