@@ -414,6 +414,13 @@ def make_accum_train_step(cfg: Config, G, D, C=None,
             # placed after the reduce like the fused step
             metrics["ada_p"] = new_aug_p
             metrics["ada_rt"] = d_rt
+        if t.log_grad_norm:
+            # the FULL accumulated-mean gradient trees (psum'd) — the same
+            # quantity the fused step norms, so fused == accum holds here too
+            metrics["grad_norm_G"] = optax.global_norm(g_grads).astype(
+                jnp.float32)
+            metrics["grad_norm_D"] = optax.global_norm(d_grads).astype(
+                jnp.float32)
         if axis_name:
             new_g_state = jax.tree.map(psum_mean, new_g_state)
             new_d_state = jax.tree.map(psum_mean, new_d_state)

@@ -157,6 +157,12 @@ class TrainConfig:
     # cadence stale; the epoch's last point flushes at the boundary.
     # Beyond-reference opt-in; off = parity print timing.
     metrics_lag: bool = False
+    # stream the global L2 norm of the (psum'd) G and D gradient trees as
+    # grad_norm_G/grad_norm_D every print point — the standard GAN-health
+    # debugging surface (vanishing D signal, G spikes before divergence).
+    # Computed on device from grads the step already holds (two scalar
+    # reductions; no extra passes). Beyond-reference opt-in.
+    log_grad_norm: bool = False
     beta1: float = 0.5
     beta2: float = 0.999
     gan_mode: str = "lsgan"          # vanilla | lsgan | wgangp | hinge
@@ -376,6 +382,12 @@ class RunConfig:
     xla_opt: str = ""
     isTrain: bool = True
     profile_steps: int = 0           # >0: jax.profiler trace of N steps
+    # >0: start jax.profiler's gRPC server on this port at startup — live
+    # on-demand trace capture from TensorBoard's profile plugin (or
+    # jax.profiler.trace tooling) against a RUNNING training job, no
+    # restart needed. Complements --profile_steps (fixed-window trace at
+    # loop start). Beyond-reference opt-in.
+    profile_server: int = 0
     # numerics sanitizer (SURVEY.md SS6): jax_debug_nans raises at the
     # producing primitive. checkify was evaluated and rejected: float_checks
     # through the doubly-differentiated GAN step exploded compile time
@@ -567,6 +579,7 @@ _FLAG_MAP = {
     "lr": ("train", "lr"),
     "lr_d": ("train", "lr_d"),
     "metrics_lag": ("train", "metrics_lag"),
+    "log_grad_norm": ("train", "log_grad_norm"),
     "beta1": ("train", "beta1"),
     "gan_mode": ("train", "gan_mode"),
     "lambda_L1": ("train", "lambda_L1"),
@@ -623,6 +636,7 @@ _FLAG_MAP = {
     "lpips_lins": ("run", "lpips_lins"),
     "fid_per_bin": ("run", "fid_per_bin"),
     "profile_steps": ("run", "profile_steps"),
+    "profile_server": ("run", "profile_server"),
     "tb_logdir": ("run", "tb_logdir"),
     "compile_cache": ("run", "compile_cache"),
     "xla_opt": ("run", "xla_opt"),
@@ -662,6 +676,14 @@ _FLAG_HELP = {
             "two-time-scale stabilizer, typically lr_d > lr. Shares the "
             "--lr_policy decay shape. Beyond-reference opt-in; 0 = D "
             "uses --lr = parity",
+    "profile_server": "start jax.profiler's gRPC server on this PORT at "
+                      "startup: live on-demand trace capture from "
+                      "TensorBoard's profile plugin against the running "
+                      "job (0 = off). Complements --profile_steps",
+    "log_grad_norm": "stream grad_norm_G/grad_norm_D (global L2 norm of "
+                     "the gradient trees, post-allreduce) every print "
+                     "point — the GAN-health debugging surface. "
+                     "Beyond-reference opt-in",
     "tb_logdir": "mirror every logged scalar into a TensorBoard event file "
                  "under <tb_logdir>/<name>/ (stdlib tfevents encoder; no "
                  "tensorflow dependency). metrics.jsonl remains the source "

@@ -596,6 +596,13 @@ def make_train_step(cfg: Config, G, D, C=None, steps_per_epoch: int = 1,
             # already device-uniform (d_rt was pmean'd before the update)
             metrics["ada_p"] = new_aug_p
             metrics["ada_rt"] = d_rt
+        if t.log_grad_norm:
+            # grads are already psum'd (device-uniform) — no extra
+            # collective; two scalar tree-reductions on device
+            metrics["grad_norm_G"] = optax.global_norm(g_grads).astype(
+                jnp.float32)
+            metrics["grad_norm_D"] = optax.global_norm(d_grads).astype(
+                jnp.float32)
         if axis_name:
             # keep running stats (batchnorm) replicated across the data axis
             new_g_state = jax.tree.map(psum_mean, new_g_state)

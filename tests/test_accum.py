@@ -234,3 +234,46 @@ def test_accum_skip_nonfinite_holds_params():
     s2, m2 = step(s1, _batch())
     assert float(m2["notfinite_G"]) == 1.0   # cumulative total holds
     assert np.isfinite(float(m2["loss_G"]))
+
+
+def test_grad_norm_metric_fused_equals_accum():
+    """--log_grad_norm: grad_norm_G/grad_norm_D stream from BOTH step
+    builders and agree (the same psum'd mean-gradient trees are normed).
+    Oracle: after one Adam update the first moment is (1-b1)*grad, so
+    global_norm(mu)/(1-b1) must reproduce the streamed norm exactly."""
+    import optax
+
+    cfg = _cfg(grad_accum=2, log_grad_norm=True)
+    G, D = define_G(cfg), define_D(cfg)
+    rng = jax.random.PRNGKey(5)
+    batch = _batch()
+    s1, m1 = jax.jit(make_train_step(cfg, G, D))(
+        create_train_state(cfg, G, D, rng, 10), batch)
+    s2, m2 = jax.jit(make_accum_train_step(cfg, G, D))(
+        create_train_state(cfg, G, D, rng, 10), batch)
+
+    for m in (m1, m2):
+        assert float(m["grad_norm_G"]) > 0 and float(m["grad_norm_D"]) > 0
+        assert np.isfinite(float(m["grad_norm_G"]))
+    np.testing.assert_allclose(float(m1["grad_norm_G"]),
+                               float(m2["grad_norm_G"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm_D"]),
+                               float(m2["grad_norm_D"]), rtol=1e-4)
+
+    def first_moment(opt_state):
+        leaves = jax.tree_util.tree_flatten(
+            opt_state, is_leaf=lambda x: hasattr(x, "mu"))[0]
+        return next(s.mu for s in leaves if hasattr(s, "mu"))
+
+    b1 = cfg.train.beta1
+    np.testing.assert_allclose(
+        float(optax.global_norm(first_moment(s1.g_opt))) / (1 - b1),
+        float(m1["grad_norm_G"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(optax.global_norm(first_moment(s1.d_opt))) / (1 - b1),
+        float(m1["grad_norm_D"]), rtol=1e-5)
+
+    # off = parity: the keys must not appear
+    _, m_off = jax.jit(make_train_step(_cfg(), G, D))(
+        create_train_state(_cfg(), G, D, rng, 10), batch)
+    assert "grad_norm_G" not in m_off and "grad_norm_D" not in m_off

@@ -83,10 +83,12 @@ def test_train_cli_mirrors_metrics(tmp_path):
          "--niter_decay", "0", "--print_freq", "1", "--save_epoch_freq", "0",
          "--mesh_shape", "1", "--name", "tb",
          "--checkpoints_dir", str(tmp_path),
-         "--tb_logdir", str(tmp_path / "tb_events")],
+         "--tb_logdir", str(tmp_path / "tb_events"),
+         "--log_grad_norm", "--profile_server", "18787"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, timeout=600)
     assert p.returncode == 0, p.stdout
+    assert "profiler server on :18787" in p.stdout
 
     run_dir = tmp_path / "tb_events" / "tb"
     files = [f for f in os.listdir(run_dir)
@@ -99,6 +101,7 @@ def test_train_cli_mirrors_metrics(tmp_path):
             {v.tag: v.simple_value for v in e.summary.value})
 
     n_checked = 0
+    saw_grad_norm = False
     with open(tmp_path / "tb" / "metrics.jsonl") as f:
         for line in f:
             rec = json.loads(line)
@@ -110,4 +113,7 @@ def test_train_cli_mirrors_metrics(tmp_path):
                 assert events[step][k] == pytest.approx(v, rel=1e-6), \
                     (step, k)
                 n_checked += 1
+                if k == "grad_norm_G":
+                    saw_grad_norm = v > 0
     assert n_checked >= 4
+    assert saw_grad_norm    # --log_grad_norm streams through the CLI + TB

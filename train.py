@@ -49,6 +49,14 @@ def main(argv=None):
         # produced inside jitted code raises with the offending primitive
         jax.config.update("jax_debug_nans", True)
 
+    if cfg.run.profile_server > 0:
+        # live profiling surface (SURVEY.md SS6 tracing row): TensorBoard's
+        # profile plugin (or jax.profiler tooling) can capture traces from
+        # the RUNNING job on demand — no restart, no fixed window
+        jax.profiler.start_server(cfg.run.profile_server)
+        print(f"profiler server on :{cfg.run.profile_server} "
+              f"(capture via TensorBoard profile plugin)", flush=True)
+
     run_dir = os.path.join(cfg.run.checkpoints_dir, cfg.run.name)
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "opt.json"))   # reference dumps opt.txt
