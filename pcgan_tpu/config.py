@@ -163,6 +163,12 @@ class TrainConfig:
     # Computed on device from grads the step already holds (two scalar
     # reductions; no extra passes). Beyond-reference opt-in.
     log_grad_norm: bool = False
+    # stream device memory occupancy (mem_hbm_gb live, mem_hbm_peak_gb
+    # high-water) every print point from the PJRT allocator's own counters
+    # (device.memory_stats() — a host-side query, no device work). The
+    # OOM-debugging companion to tools/memory_plan.py's AOT numbers.
+    # No-op on backends without memory stats (CPU). Beyond-reference opt-in.
+    log_memory: bool = False
     beta1: float = 0.5
     beta2: float = 0.999
     gan_mode: str = "lsgan"          # vanilla | lsgan | wgangp | hinge
@@ -580,6 +586,7 @@ _FLAG_MAP = {
     "lr_d": ("train", "lr_d"),
     "metrics_lag": ("train", "metrics_lag"),
     "log_grad_norm": ("train", "log_grad_norm"),
+    "log_memory": ("train", "log_memory"),
     "beta1": ("train", "beta1"),
     "gan_mode": ("train", "gan_mode"),
     "lambda_L1": ("train", "lambda_L1"),
@@ -684,6 +691,10 @@ _FLAG_HELP = {
                      "the gradient trees, post-allreduce) every print "
                      "point — the GAN-health debugging surface. "
                      "Beyond-reference opt-in",
+    "log_memory": "stream mem_hbm_gb / mem_hbm_peak_gb (PJRT allocator "
+                  "counters) every print point — live OOM debugging next "
+                  "to tools/memory_plan.py's AOT numbers. No-op on "
+                  "backends without memory stats. Beyond-reference opt-in",
     "tb_logdir": "mirror every logged scalar into a TensorBoard event file "
                  "under <tb_logdir>/<name>/ (stdlib tfevents encoder; no "
                  "tensorflow dependency). metrics.jsonl remains the source "

@@ -84,7 +84,7 @@ def test_train_cli_mirrors_metrics(tmp_path):
          "--mesh_shape", "1", "--name", "tb",
          "--checkpoints_dir", str(tmp_path),
          "--tb_logdir", str(tmp_path / "tb_events"),
-         "--log_grad_norm", "--profile_server", "18787"],
+         "--log_grad_norm", "--log_memory", "--profile_server", "18787"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, timeout=600)
     assert p.returncode == 0, p.stdout
@@ -115,5 +115,8 @@ def test_train_cli_mirrors_metrics(tmp_path):
                 n_checked += 1
                 if k == "grad_norm_G":
                     saw_grad_norm = v > 0
+            # --log_memory is a documented NO-OP on backends without
+            # memory stats (CPU returns None): keys must be absent here
+            assert "mem_hbm_gb" not in rec
     assert n_checked >= 4
     assert saw_grad_norm    # --log_grad_norm streams through the CLI + TB

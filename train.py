@@ -353,6 +353,26 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
     pending = None
     lag_anchor = {"t": None, "g": 0}
 
+    mem_dev = jax.devices()[0] if t.log_memory else None
+
+    def _mem_metrics():
+        # --log_memory: the PJRT allocator's own occupancy counters — a
+        # host-side query (no device work, no sync); {} on backends
+        # without memory stats (CPU)
+        if mem_dev is None:
+            return {}
+        try:
+            ms = mem_dev.memory_stats() or {}
+        except Exception:
+            return {}
+        out = {}
+        if "bytes_in_use" in ms:
+            out["mem_hbm_gb"] = round(ms["bytes_in_use"] / 2**30, 3)
+        if "peak_bytes_in_use" in ms:
+            out["mem_hbm_peak_gb"] = round(ms["peak_bytes_in_use"] / 2**30,
+                                           3)
+        return out
+
     def _log_pending():
         nonlocal pending
         g, m, ep = pending
@@ -365,7 +385,8 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                     / max(now - lag_anchor["t"], 1e-9))
         lag_anchor.update(t=now, g=g)
         epoch_losses.append(float(host_metrics["loss_G"]))
-        logger.log(g, {k: float(v) for k, v in host_metrics.items()},
+        logger.log(g, {**{k: float(v) for k, v in host_metrics.items()},
+                       **_mem_metrics()},
                    epoch=ep, imgs_per_sec=rate,
                    lr=float(sched(g)) * lr_scale)
 
@@ -398,7 +419,9 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                     rate = timer.rate()
                     epoch_losses.append(float(host_metrics["loss_G"]))
                     logger.log(gstep,
-                               {k: float(v) for k, v in host_metrics.items()},
+                               {**{k: float(v)
+                                   for k, v in host_metrics.items()},
+                                **_mem_metrics()},
                                epoch=epoch, imgs_per_sec=rate,
                                lr=float(sched(gstep)) * lr_scale)
                     timer.start()
