@@ -74,6 +74,12 @@ def test_train_cli_mirrors_metrics(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
     train_py = os.path.join(os.path.dirname(__file__), "..", "train.py")
+    # a free port for the profiler server (ADVICE r3: a hardcoded port
+    # flakes under parallel pytest runs / leftover processes)
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        prof_port = s.getsockname()[1]
     p = subprocess.run(
         [sys.executable, train_py,
          "--dataset_mode", "synthetic", "--max_dataset_size", "8",
@@ -84,11 +90,12 @@ def test_train_cli_mirrors_metrics(tmp_path):
          "--mesh_shape", "1", "--name", "tb",
          "--checkpoints_dir", str(tmp_path),
          "--tb_logdir", str(tmp_path / "tb_events"),
-         "--log_grad_norm", "--log_memory", "--profile_server", "18787"],
+         "--log_grad_norm", "--log_memory",
+         "--profile_server", str(prof_port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, timeout=600)
     assert p.returncode == 0, p.stdout
-    assert "profiler server on :18787" in p.stdout
+    assert f"profiler server on :{prof_port}" in p.stdout
 
     run_dir = tmp_path / "tb_events" / "tb"
     files = [f for f in os.listdir(run_dir)

@@ -122,6 +122,133 @@ def run_loadtest(url: str, concurrency: int, requests: int, batch: int,
     }
 
 
+def _bomb_png() -> bytes:
+    """A ~100-byte PNG whose header declares a 5000x5000 canvas (25 MPix —
+    over serve_http's 16 MPix cap but under Pillow's own bomb threshold,
+    so the HOST's guard is the one exercised) — the decompression-bomb
+    probe for the raw-image routes: rejection must happen on the DECLARED
+    dimensions, before any pixel buffer allocates."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 5000, 5000, 8, 2, 0, 0, 0)
+    # a (truncated) IDAT so PIL's header parser reaches the size without
+    # needing real pixel data, then IEND
+    return (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b""))
+
+
+def run_abuse(url: str, auth_token: str = "", timeout: float = 20.0,
+              slow_wait: float = 0.0) -> dict:
+    """Abuse-case battery (VERDICT r3 weak #3): drives the hardening
+    surface of serve_http — oversized declared body (413 without
+    buffering), garbage npz (400), decompression-bomb image (400), wrong
+    token (401 that keeps the connection framed), optional slow-body
+    starvation (server closes at --request_timeout) — and asserts the
+    host still serves a valid request after every case."""
+    import http.client
+    import socket
+    from urllib.parse import urlsplit
+    u = urlsplit(url)
+    host, port = u.hostname, u.port or 80
+    cases = {}
+
+    def post_raw(path, body, token=None, conn=None, extra=()):
+        c = conn or http.client.HTTPConnection(host, port, timeout=timeout)
+        c.putrequest("POST", path)
+        tok = auth_token if token is None else token
+        if tok:
+            c.putheader("Authorization", f"Bearer {tok}")
+        for k, v in extra:
+            c.putheader(k, v)
+        if not any(k == "Content-Length" for k, _ in extra):
+            c.putheader("Content-Length", str(len(body)))
+        c.endheaders()
+        if body:
+            c.send(body)
+        r = c.getresponse()
+        payload = r.read()
+        return c, r.status, payload
+
+    # 1. oversized declared body -> 413 immediately, body never sent
+    c, status, _ = post_raw("/generate", b"",
+                            extra=(("Content-Length", str(1 << 40)),))
+    cases["oversized_body_413"] = status == 413
+    c.close()
+
+    # 2. garbage npz -> 400 (and the worker thread survives)
+    c, status, _ = post_raw("/generate", b"this is not an npz payload")
+    cases["garbage_npz_400"] = status == 400
+    c.close()
+
+    # 3. decompression-bomb PNG on the raw-image route -> 400 on declared
+    # dimensions (no pixel buffer may allocate)
+    c, status, body = post_raw("/generate_image?bin=0", _bomb_png())
+    cases["bomb_image_400"] = (status == 400
+                               and b"exceed" in body.lower())
+    c.close()
+
+    # 4. wrong token -> 401 AND the keep-alive connection stays framed:
+    # the same socket must serve a correct follow-up (the 401 path drains
+    # the unread body)
+    if auth_token:
+        c, status, _ = post_raw("/generate", b"x" * 4096, token="wrong")
+        ok_401 = status == 401
+        try:
+            c.putrequest("GET", "/healthz")
+            c.putheader("Authorization", f"Bearer {auth_token}")
+            c.endheaders()
+            r2 = c.getresponse()
+            r2.read()
+            cases["wrong_token_401_keepalive"] = ok_401 and r2.status == 200
+        except (http.client.HTTPException, OSError):
+            # server chose to close the connection — acceptable (framing
+            # can't desync a closed socket), but only with the 401 sent
+            cases["wrong_token_401_keepalive"] = ok_401
+        c.close()
+
+    # 5. slow body: declare a body and never finish sending it; the host
+    # must cut the connection at --request_timeout instead of pinning the
+    # handler thread. Opt-in (costs slow_wait seconds of wall clock).
+    if slow_wait > 0:
+        s = socket.create_connection((host, port), timeout=slow_wait + 10)
+        req = (f"POST /generate HTTP/1.1\r\nHost: {host}\r\n"
+               + (f"Authorization: Bearer {auth_token}\r\n" if auth_token
+                  else "")
+               + "Content-Length: 1000000\r\n\r\n").encode()
+        s.sendall(req + b"x" * 10)      # 10 of 1e6 bytes, then silence
+        t0 = time.perf_counter()
+        try:
+            data = s.recv(65536)        # server closes (possibly silently)
+            closed = data == b"" or b"408" in data or b"timed" in data
+        except socket.timeout:
+            closed = False
+        cases["slow_body_disconnected"] = (closed and
+                                           time.perf_counter() - t0
+                                           <= slow_wait + 5)
+        s.close()
+
+    # after every abuse case: the host still serves real traffic
+    client = ServingClient(url, timeout=timeout, auth_token=auth_token)
+    h = client.healthz()
+    alive = h.get("status") == "ok"
+    meta = h.get("meta")
+    if meta is not None:
+        out = client.generate(*_payload(meta, 2, seed=123))
+        alive = alive and out.shape[0] == 2
+    cases["host_alive_after_abuse"] = alive
+
+    n_ok = sum(bool(v) for v in cases.values())
+    return {"metric": "serving_abuse_cases_ok",
+            "value": n_ok, "unit": "cases",
+            "cases": cases, "failed": [k for k, v in cases.items() if not v]}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--url", default="http://127.0.0.1:8500")
@@ -135,8 +262,22 @@ def main(argv=None):
     p.add_argument("--auth_token", default="",
                    help="bearer token for a serve_http --auth_token host; "
                         "defaults to env PCGAN_SERVE_TOKEN")
+    p.add_argument("--abuse", action="store_true",
+                   help="run the abuse-case battery instead of the "
+                        "throughput loadtest: oversized body, garbage npz, "
+                        "bomb image, wrong token, optional slow body — "
+                        "asserting the host stays up and bounded")
+    p.add_argument("--slow_wait", type=float, default=0.0,
+                   help="with --abuse: also run the slow-body starvation "
+                        "case, waiting this long (> the host's "
+                        "--request_timeout) for the disconnect")
     args = p.parse_args(argv)
     token = args.auth_token or os.environ.get("PCGAN_SERVE_TOKEN", "")
+    if args.abuse:
+        result = run_abuse(args.url, auth_token=token,
+                           timeout=args.timeout, slow_wait=args.slow_wait)
+        print(json.dumps(result))
+        return 0 if not result["failed"] else 1
     result = run_loadtest(args.url, args.concurrency, args.requests,
                           args.batch, args.warmup, args.timeout,
                           auth_token=token)

@@ -93,6 +93,13 @@ def _pil():
             "use the .npz /generate and /progression routes instead") from e
 
 
+# decompression-bomb guard for the raw-image routes: PIL parses the header
+# lazily, so the dimensions are known BEFORE any pixel buffer allocates —
+# reject oversized canvases there (a tiny PNG/JPEG body can declare a
+# multi-GiB canvas). 16 MPix comfortably covers any real photo upload.
+_MAX_IMAGE_PIXELS = 16_000_000
+
+
 def _decode_image_body(body: bytes, meta: dict) -> np.ndarray:
     """Raw JPEG/PNG bytes -> (1, S, S, 3) f32 in [-1, 1]: shorter side
     bicubic-resized to the artifact's crop_size, then center-cropped — the
@@ -102,7 +109,14 @@ def _decode_image_body(body: bytes, meta: dict) -> np.ndarray:
         raise ValueError("image endpoints serve 3-channel artifacts only")
     try:
         img = Image.open(io.BytesIO(body))
+        w, h = img.size               # header-only — nothing decoded yet
+        if w * h > _MAX_IMAGE_PIXELS:
+            raise ValueError(
+                f"image dimensions {w}x{h} exceed the "
+                f"{_MAX_IMAGE_PIXELS}-pixel limit")
         img.load()
+    except ValueError:
+        raise
     except Exception as e:
         raise ValueError(f"request body is not a decodable image: {e}") from e
     img = img.convert("RGB")
@@ -293,21 +307,32 @@ _DEMO_HTML = """<!doctype html>
 "use strict";
 const $ = id => document.getElementById(id);
 let meta = null;
-fetch("/healthz").then(r => r.json()).then(h => {
-  meta = h.meta;
-  $("meta").textContent = `serving ${h.artifact_dir} — ${meta.netG}, ` +
-    `${meta.crop_size}px, cond_mode=${meta.cond_mode}` +
-    (meta.cond_mode === "score" ? "" : `, ${meta.n_age_bins} age bins`);
-  const c = $("cond");
-  if (meta.cond_mode === "score") {
-    c.min = -100; c.max = 100; c.value = 0;
-    $("condlabel").textContent = "score";
-  } else {
-    c.min = 0; c.max = meta.n_age_bins - 1; c.value = 0;
-    $("condlabel").textContent = "age bin";
-  }
-  sync(); $("go").disabled = false;
-}).catch(e => { $("meta").textContent = "healthz failed: " + e; });
+function loadMeta() {
+  const hdrs = $("token").value
+    ? { "Authorization": "Bearer " + $("token").value } : {};
+  fetch("/healthz", { headers: hdrs }).then(r => r.json()).then(h => {
+    if (!h.meta) {   // auth on: the unauthenticated body is redacted
+      $("meta").textContent =
+        "auth required — enter the token above to load artifact metadata";
+      return;
+    }
+    meta = h.meta;
+    $("meta").textContent = `serving ${h.artifact_dir} — ${meta.netG}, ` +
+      `${meta.crop_size}px, cond_mode=${meta.cond_mode}` +
+      (meta.cond_mode === "score" ? "" : `, ${meta.n_age_bins} age bins`);
+    const c = $("cond");
+    if (meta.cond_mode === "score") {
+      c.min = -100; c.max = 100; c.value = 0;
+      $("condlabel").textContent = "score";
+    } else {
+      c.min = 0; c.max = meta.n_age_bins - 1; c.value = 0;
+      $("condlabel").textContent = "age bin";
+    }
+    sync(); $("go").disabled = false;
+  }).catch(e => { $("meta").textContent = "healthz failed: " + e; });
+}
+loadMeta();
+$("token").addEventListener("change", loadMeta);
 function sync() {
   const c = $("cond");
   $("condval").textContent =
@@ -380,14 +405,21 @@ def _warmup(served, b: int):
 
 def make_server(artifact_dir: str, host: str, port: int,
                 batch_window_ms: float = 0.0, warmup_batch: int = 0,
-                auth_token: str = "", watch_seconds: float = 0.0):
+                auth_token: str = "", watch_seconds: float = 0.0,
+                max_body_bytes: int = 256 * 1024 * 1024,
+                request_timeout: float = 30.0, max_pending: int = 32):
     import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from pcgan_tpu.serving import load_exported
 
     t_start = time.time()
-    stats = {"requests": 0, "rows": 0, "errors": 0, "reloads": 0}
+    stats = {"requests": 0, "rows": 0, "errors": 0, "reloads": 0,
+             "rejected": 0}
     stats_lock = threading.Lock()
+    # bounded in-flight POST count: when the device (or the 1-core host)
+    # falls behind, shed load with 503 instead of queueing unboundedly —
+    # each queued request pins its whole decoded body in memory
+    pending = threading.Semaphore(max_pending)
 
     def _load_checked(path):
         served = load_exported(path)
@@ -408,18 +440,24 @@ def make_server(artifact_dir: str, host: str, port: int,
     batcher = (Batcher(batch_window_ms)
                if batch_window_ms > 0 else None)
 
+    # serializes concurrent reloads (watcher poll + POST /reload racing):
+    # two simultaneous load+warm cycles waste a compile and the losing
+    # writer's work; one at a time is always correct (ADVICE r3)
+    swap_lock = threading.Lock()
+
     def _swap(path: str):
         """Load + warm the artifact at ``path``, then swap it in (shared by
         POST /reload and the --watch_seconds poller). The load happens OFF
         the request lock — traffic keeps serving the old module; the swap
         itself is one attribute assignment."""
-        new_served = _load_checked(path)
-        # compile BEFORE the swap (measured: the swap is ~instant, but the
-        # first call on a cold artifact pays ~seconds of compile — warming
-        # first makes the reload genuinely zero-downtime)
-        _warmup(new_served, warmup_batch)
-        current["served"] = new_served
-        current["artifact_dir"] = os.path.abspath(path)
+        with swap_lock:
+            new_served = _load_checked(path)
+            # compile BEFORE the swap (measured: the swap is ~instant, but
+            # the first call on a cold artifact pays ~seconds of compile —
+            # warming first makes the reload genuinely zero-downtime)
+            _warmup(new_served, warmup_batch)
+            current["served"] = new_served
+            current["artifact_dir"] = os.path.abspath(path)
         with stats_lock:
             stats["reloads"] += 1
         return new_served
@@ -470,34 +508,64 @@ def make_server(artifact_dir: str, host: str, port: int,
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socket read timeout: a slow-body client (trickling bytes, or
+        # sending a Content-Length it never fulfills) times out instead of
+        # pinning a handler thread forever; CPython's handle_one_request
+        # catches the TimeoutError and closes the connection
+        timeout = request_timeout
 
         def log_message(self, fmt, *args):   # quiet by default
             if os.environ.get("PCGAN_SERVE_VERBOSE"):
                 super().log_message(fmt, *args)
 
-        def _reply(self, code: int, body: bytes, ctype: str):
+        def _reply(self, code: int, body: bytes, ctype: str,
+                   close: bool = False):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if close:
+                # an unread request body would desync this keep-alive
+                # connection (the leftover bytes parse as the next request
+                # line) — tell the client the server is closing it
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
-        def _json(self, code: int, obj):
-            self._reply(code, json.dumps(obj).encode(), "application/json")
+        def _json(self, code: int, obj, close: bool = False):
+            self._reply(code, json.dumps(obj).encode(), "application/json",
+                        close=close)
 
-        def _authorized(self) -> bool:
-            """Bearer-token check (constant-time). Open routes: GET /
-            (demo page carries a token field) and GET /healthz
-            (readiness probes)."""
+        def _drain(self, n: int) -> None:
+            """Consume n unprocessed body bytes in bounded chunks so the
+            keep-alive connection stays framed for the next request
+            (ADVICE r3: replying before reading desyncs the socket)."""
+            while n > 0:
+                chunk = self.rfile.read(min(n, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                n -= len(chunk)
+
+        def _token_ok(self) -> bool:
             if not auth_token:
                 return True
             got = self.headers.get("Authorization", "")
-            ok = got.startswith("Bearer ") and hmac.compare_digest(
+            return got.startswith("Bearer ") and hmac.compare_digest(
                 got[len("Bearer "):], auth_token)
-            if not ok:
-                self._json(401, {"error": "missing or invalid bearer token "
-                                          "(Authorization: Bearer <token>)"})
-            return ok
+
+        def _authorized(self, body_bytes: int = 0) -> bool:
+            """Bearer-token check (constant-time). Open routes: GET /
+            (demo page carries a token field) and GET /healthz
+            (readiness probes — redacted body when auth is on). On
+            failure the pending request body is drained first so
+            keep-alive framing survives the 401."""
+            if self._token_ok():
+                return True
+            self._drain(body_bytes)
+            self._json(401, {"error": "missing or invalid bearer token "
+                                      "(Authorization: Bearer <token>)"})
+            return False
 
         def do_GET(self):
             if self.path in ("/", "/demo"):
@@ -507,6 +575,13 @@ def make_server(artifact_dir: str, host: str, port: int,
                 return self._reply(200, _DEMO_HTML.encode(),
                                    "text/html; charset=utf-8")
             if self.path == "/healthz":
+                # readiness probes stay unauthenticated, but with auth on
+                # the unauthenticated body is just the status — artifact
+                # meta + the absolute filesystem path are more than a
+                # probe needs (ADVICE r3 info-leak finding); send the
+                # token to get the full body
+                if auth_token and not self._token_ok():
+                    return self._json(200, {"status": "ok"})
                 return self._json(200, {
                     "status": "ok", "meta": current["served"].meta,
                     "artifact_dir": current["artifact_dir"]})
@@ -524,6 +599,8 @@ def make_server(artifact_dir: str, host: str, port: int,
                     f"pcgan_rows_total {st['rows']}",
                     "# TYPE pcgan_errors_total counter",
                     f"pcgan_errors_total {st['errors']}",
+                    "# TYPE pcgan_rejected_total counter",
+                    f"pcgan_rejected_total {st['rejected']}",
                     "# TYPE pcgan_reloads_total counter",
                     f"pcgan_reloads_total {st['reloads']}",
                     "# TYPE pcgan_device_dispatches_total counter",
@@ -546,11 +623,46 @@ def make_server(artifact_dir: str, host: str, port: int,
             self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if not self._authorized():
-                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                n = int(self.headers.get("Content-Length", 0) or 0)
+            except ValueError:
+                return self._json(400, {"error": "invalid Content-Length"},
+                                  close=True)
+            if n < 0:
+                return self._json(400, {"error": "invalid Content-Length"},
+                                  close=True)
+            if n > max_body_bytes:
+                # refuse WITHOUT reading: one oversized declaration must
+                # not make the host buffer gigabytes. The connection
+                # closes (the unread body cannot be skipped affordably).
+                with stats_lock:
+                    stats["rejected"] += 1
+                return self._json(
+                    413, {"error": f"request body {n} bytes exceeds the "
+                                   f"--max_body_bytes limit "
+                                   f"({max_body_bytes})"}, close=True)
+            if not self._authorized(body_bytes=n):
+                return
+            if not pending.acquire(blocking=False):
+                # load shedding: bounded in-flight depth; the client
+                # retries (or a fronting LB routes elsewhere)
+                with stats_lock:
+                    stats["rejected"] += 1
+                self._drain(n)
+                return self._json(
+                    503, {"error": f"server busy ({max_pending} requests "
+                                   f"in flight); retry"})
+            try:
+                self._do_post_body(n)
+            finally:
+                pending.release()
+
+        def _do_post_body(self, n: int):
+            try:
                 body = self.rfile.read(n)
+                if len(body) < n:      # client hung up mid-body
+                    self.close_connection = True
+                    return
                 if self.path == "/reload":
                     # hot swap: load the new artifact OFF the request lock
                     # (a load costs seconds; traffic keeps serving the old
@@ -633,6 +745,12 @@ def make_server(artifact_dir: str, host: str, port: int,
                 else:
                     self._reply(200, _npy_bytes(out),
                                 "application/octet-stream")
+            except TimeoutError:
+                # socket read timeout mid-body (slow-loris client): the
+                # connection is dead — let handle_one_request close it; a
+                # 400 here would be misread as an application error AND
+                # leave the timed-out socket in the keep-alive loop
+                raise
             except (KeyError, ValueError, OSError,
                     json.JSONDecodeError) as e:
                 with stats_lock:
@@ -674,6 +792,15 @@ def main(argv=None):
                         "and hot-swap automatically when a re-export lands "
                         "(the continuous-deployment twin of POST /reload; "
                         "0 = off)")
+    p.add_argument("--max_body_bytes", type=int, default=256 * 1024 * 1024,
+                   help="413 any request declaring a larger body, without "
+                        "reading it (default 256 MiB ~= batch-256 512px f32)")
+    p.add_argument("--request_timeout", type=float, default=30.0,
+                   help="socket read timeout per request; slow-body clients "
+                        "are disconnected instead of pinning a thread")
+    p.add_argument("--max_pending", type=int, default=32,
+                   help="maximum concurrent in-flight POSTs; excess "
+                        "requests get 503 (load shedding)")
     args = p.parse_args(argv)
     if not args.auth_token:
         args.auth_token = os.environ.get("PCGAN_SERVE_TOKEN", "")
@@ -685,7 +812,10 @@ def main(argv=None):
                                 batch_window_ms=args.batch_window_ms,
                                 warmup_batch=args.warmup_batch,
                                 auth_token=args.auth_token,
-                                watch_seconds=args.watch_seconds)
+                                watch_seconds=args.watch_seconds,
+                                max_body_bytes=args.max_body_bytes,
+                                request_timeout=args.request_timeout,
+                                max_pending=args.max_pending)
     if args.auth_token:
         print("bearer-token auth enabled", flush=True)
     if args.warmup_batch > 0:
