@@ -89,9 +89,15 @@ def create_dataset(cfg: Config, train: bool = True):
     if mode == "sorted":
         from pcgan_tpu.data.sorted_labels import SortedLabelsDataset
         return SortedLabelsDataset(cfg.data.labels_csv, max_size=ms)
-    if mode == "pairwise":
-        base_mode = "synthetic" if not cfg.data.dataroot or not _exists(
-            cfg.data.dataroot) else "aging"
+    if mode in ("pairwise", "pairwise_hard"):
+        # pairwise_hard: comparisons synthesized over the HARD synthetic
+        # set — pretrain the comparator on the same distribution a
+        # synthetic_hard GAN run scores with it (VERDICT r3 item 4 chain)
+        if cfg.data.dataroot and _exists(cfg.data.dataroot):
+            base_mode = "aging"
+        else:
+            base_mode = ("synthetic_hard" if mode == "pairwise_hard"
+                         else "synthetic")
         import dataclasses
         base_cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset_mode=base_mode))

@@ -118,6 +118,14 @@ def test_create_dataset_hard_dispatch():
     ds = create_dataset(cfg)
     assert isinstance(ds, SyntheticAgingDataset) and ds.variant == "hard"
     assert len(ds) == 6
+    # pairwise_hard: comparison pairs drawn over the hard base set
+    cfg_p = parse_config(["--dataset_mode", "pairwise_hard", "--dataroot",
+                          "", "--max_dataset_size", "6"])
+    pds = create_dataset(cfg_p)
+    assert isinstance(pds.base, SyntheticAgingDataset)
+    assert pds.base.variant == "hard"
+    r = pds.get_raw(0)
+    assert {"image_a", "image_b", "label"} <= set(r)
 
 
 @pytest.mark.slow
