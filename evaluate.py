@@ -87,6 +87,22 @@ def main(argv=None):
     # same permutation) and report both sides — metrics vs the rows the
     # model trained on AND vs the rows it never saw (VERDICT r3 item 3c:
     # train-vs-held-out side by side in eval.jsonl)
+    if cfg.data.holdout_frac > 0:
+        # the split is a pure function of (len(ds), seed): evaluating with
+        # a different frac/seed than the training run SILENTLY mixes
+        # trained-on rows into the "held-out" set — check opt.json loudly
+        from pcgan_tpu.config import load_run_opt, opt_value
+        _opt = load_run_opt(cfg.run.checkpoints_dir, cfg.run.name)
+        if _opt is not None:
+            tf = opt_value(_opt, "data", "holdout_frac", 0.0)
+            tseed = opt_value(_opt, "train", "seed", cfg.train.seed)
+            if (tf != cfg.data.holdout_frac) or (tseed != cfg.train.seed):
+                print(f"WARNING: this run trained with holdout_frac={tf} "
+                      f"seed={tseed} but eval got "
+                      f"--holdout_frac {cfg.data.holdout_frac} --seed "
+                      f"{cfg.train.seed} — the 'held-out' rows will NOT "
+                      f"match the training split (holdout_* keys would mix "
+                      f"trained-on rows)", flush=True)
     ds, ds_hold = data_loader.split_holdout(ds, cfg.data.holdout_frac,
                                             seed=cfg.train.seed)
     # multi-process pods: each host loads a disjoint per-host slice that
