@@ -423,16 +423,23 @@ def test_save_latest_freq_zero_saves_at_epoch_boundaries(workdir, capsys):
         [sys.executable, os.path.join(repo, "train.py")] + args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         bufsize=1, cwd=repo, env=dict(os.environ))
+    run = os.path.join(ckpt_dir, "smoke")
     saw = False
     for line in p.stdout:
         if "End of epoch 1/2" in line:
             saw = True
-            _time.sleep(1.5)     # let the async epoch-boundary save commit
+            # wait for the ASYNC epoch-boundary save to commit before the
+            # kill — poll with a deadline, not a fixed sleep (a fixed
+            # 1.5 s flaked under host contention in the r4 suite run)
+            deadline = _time.time() + 60
+            while (_time.time() < deadline
+                   and not os.path.isdir(os.path.join(run, "latest"))):
+                _time.sleep(0.25)
+            _time.sleep(0.5)     # grace: let the rename/commit finish
             p.kill()
             break
     p.wait(timeout=60)
     assert saw, "subprocess never finished epoch 1"
-    run = os.path.join(ckpt_dir, "smoke")
     assert os.path.isdir(os.path.join(run, "latest"))
     assert not any(d.startswith("epoch_") for d in os.listdir(run))
 
