@@ -347,7 +347,8 @@ def main():
     from pcgan_tpu.platform import respect_env_platform
     respect_env_platform()
 
-    from pcgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from pcgan_tpu.config import (Config, DataConfig, ModelConfig,
+                                   RunConfig, TrainConfig)
 
     if args.smoke:
         # batch must divide across the mesh's data axis — under
@@ -373,17 +374,24 @@ def main():
                             host_decode_m=args.host_decode_m,
                             host_resize=args.host_resize),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              # 512px train steps compile only WITH remat on
-                              # this toolchain (compile-side resource limit,
-                              # docs/perf_notes.md 512px probe). 256px runs
-                              # natively to batch 64 since the r3 HBM savings
-                              # (cond-bias stem, s2d) — and no-remat batch 64
-                              # is 17% faster than remat'd (152 vs 129; the
-                              # stale batch>32 gate here cost exactly that)
-                              remat=(args.size >= 512
-                                     or (args.size >= 256 and batch > 64)),
+                              # 512px: full-graph remat was the r3 recipe
+                              # (no-remat hits a compile-side resource limit
+                              # on this toolchain) but BLOCK-ONLY remat
+                              # (remat_blocks=9: every resblock, NOT the
+                              # stem/up/down convs) both compiles AND runs
+                              # +16%: 28.4 -> 33.2 imgs/s with the 64 MiB
+                              # scoped-vmem below (r4 sweep,
+                              # docs/perf_notes.md). 256px runs natively to
+                              # batch 64 since the r3 HBM savings — no-remat
+                              # batch 64 is 17% faster than remat'd
+                              remat=(args.size >= 256 and batch > 64),
+                              remat_blocks=(9 if args.size >= 512 else -1),
                               quant_int8=args.quant_int8),
-            train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch))
+            train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch),
+            # 512px prefers a 64 MiB scoped-vmem window (33.2 vs 32.9 at the
+            # 32 MiB cross-resolution default; 128/256px measured best at 32)
+            run=RunConfig(xla_opt="xla_tpu_scoped_vmem_limit_kib=65536"
+                          if args.size >= 512 else ""))
         steps = args.steps or 30
 
     if args.latency:
