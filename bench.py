@@ -374,22 +374,22 @@ def main():
                             host_decode_m=args.host_decode_m,
                             host_resize=args.host_resize),
             model=ModelConfig(netG="resnet_9blocks", dtype="bfloat16",
-                              # 512px: full-graph remat was the r3 recipe
-                              # (no-remat hits a compile-side resource limit
-                              # on this toolchain) but BLOCK-ONLY remat
-                              # (remat_blocks=9: every resblock, NOT the
-                              # stem/up/down convs) both compiles AND runs
-                              # +16%: 28.4 -> 33.2 imgs/s with the 64 MiB
-                              # scoped-vmem below (r4 sweep,
-                              # docs/perf_notes.md). 256px runs natively to
-                              # batch 64 since the r3 HBM savings — no-remat
-                              # batch 64 is 17% faster than remat'd
+                              # every resolution's sweet spot is NO-remat
+                              # (r5 re-measurement, docs/perf_notes.md r5
+                              # section): 512px batch 8 no-remat = 33.4
+                              # imgs/s vs 28.9 with remat — the r3 "no-remat
+                              # 512px fails to compile" finding does not
+                              # reproduce on jax/jaxlib 0.9.0, and the r4
+                              # "block-only remat" recipe was actually this
+                              # no-remat config (remat_blocks is inert when
+                              # remat=False). remat stays the OOM fallback
+                              # (batch > 64 at >=256px exceeds HBM natively)
                               remat=(args.size >= 256 and batch > 64),
-                              remat_blocks=(9 if args.size >= 512 else -1),
                               quant_int8=args.quant_int8),
             train=TrainConfig(pool_size=((50 + batch - 1) // batch) * batch),
-            # 512px prefers a 64 MiB scoped-vmem window (33.2 vs 32.9 at the
-            # 32 MiB cross-resolution default; 128/256px measured best at 32)
+            # 512px prefers a 64 MiB scoped-vmem window (33.39 vs 33.31 at
+            # the 32 MiB cross-resolution default — r5 no-remat re-sweep;
+            # 128/256px measured best at 32)
             run=RunConfig(xla_opt="xla_tpu_scoped_vmem_limit_kib=65536"
                           if args.size >= 512 else ""))
         steps = args.steps or 30
