@@ -103,6 +103,45 @@ def main(argv=None):
                       f"{cfg.train.seed} — the 'held-out' rows will NOT "
                       f"match the training split (holdout_* keys would mix "
                       f"trained-on rows)", flush=True)
+        # the split record (written by train.py after it resolved its
+        # dataset) makes the reproduction VERIFIABLE: rebuild against the
+        # TRAINING phase root when it differs (run.phase defaults to 'test'
+        # here but training read 'train'), then require the row count to
+        # match — a different directory or count yields a different
+        # permutation, silently mixing trained-on rows into holdout_* keys
+        # (ADVICE r4 medium)
+        _sp = (_opt or {}).get("split")
+        if isinstance(_sp, dict):
+            t_phase = _sp.get("phase")
+            if (isinstance(t_phase, str) and t_phase
+                    and cfg.data.dataset_mode in ("aging", "single")):
+                t_root = data_loader.phase_root(cfg.data.dataroot, t_phase)
+                e_root = data_loader.phase_root(cfg.data.dataroot,
+                                                cfg.run.phase)
+                if t_root != e_root:
+                    print(f"holdout: reproducing the TRAINING split — "
+                          f"reading {t_root} (the run trained with --phase "
+                          f"{t_phase}), not {e_root}", flush=True)
+                    from pcgan_tpu.config import replace as _rep
+                    ds = data_loader.create_dataset(
+                        _rep(cfg, run=_rep(cfg.run, phase=t_phase)),
+                        train=False)
+            tlen = _sp.get("dataset_len")
+            if isinstance(tlen, int) and tlen != len(ds):
+                raise SystemExit(
+                    f"--holdout_frac: the training run resolved a "
+                    f"{tlen}-row dataset (opt.json split record: phase "
+                    f"{_sp.get('phase')!r}, root {_sp.get('phase_root')!r}) "
+                    f"but eval resolved {len(ds)} rows — the held-out "
+                    f"permutation would NOT match the training split, so "
+                    f"holdout_* keys would silently mix trained-on rows. "
+                    f"Point --dataroot/--max_dataset_size at the training "
+                    f"run's data (or drop --holdout_frac for a plain eval)")
+        elif _opt is not None:
+            print("WARNING: opt.json has no split record (run predates it) "
+                  "— cannot verify the held-out split matches training; "
+                  "ensure --dataroot/--phase resolve the same rows",
+                  flush=True)
     ds, ds_hold = data_loader.split_holdout(ds, cfg.data.holdout_frac,
                                             seed=cfg.train.seed)
     # multi-process pods: each host loads a disjoint per-host slice that

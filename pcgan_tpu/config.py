@@ -475,6 +475,32 @@ def load_run_opt(checkpoints_dir: str, name: str) -> Optional[dict]:
     return opt if isinstance(opt, dict) else None
 
 
+def amend_run_opt(checkpoints_dir: str, name: str, key: str, value) -> None:
+    """Merge one top-level key into a run's opt.json (atomic replace).
+
+    train.py uses this to record facts that are only known AFTER flag
+    parsing — e.g. the ``split`` record (resolved dataset length + phase
+    root) that lets evaluate.py PROVE it reproduces the training run's
+    --holdout_frac permutation instead of silently deriving a different
+    one (ADVICE r4: the split is a pure function of (len(ds), seed), so a
+    different directory or row count at eval time mixes trained-on rows
+    into holdout_* keys)."""
+    path = os.path.join(checkpoints_dir, name, "opt.json")
+    try:
+        with open(path) as f:
+            opt = json.load(f)
+    except (OSError, ValueError):
+        opt = {}
+    if not isinstance(opt, dict):
+        opt = {}
+    opt[key] = value
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(opt, f, indent=2, default=str)
+    os.replace(tmp, path)
+
+
 def opt_value(opt: Optional[dict], section: str, flag: str, fallback):
     """One saved value out of a load_run_opt() dict, or `fallback` when the
     dict/section/key is absent (tools with their own argparse use this to

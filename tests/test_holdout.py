@@ -186,3 +186,79 @@ def test_evaluate_cli_reports_holdout(tmp_path):
                           ).readline())
     assert "fid" in rec and "holdout_fid" in rec, rec
     assert np.isfinite(rec["holdout_fid"])
+
+
+def test_amend_run_opt_merges_atomically(tmp_path):
+    from pcgan_tpu.config import amend_run_opt, load_run_opt
+    os.makedirs(tmp_path / "r")
+    with open(tmp_path / "r" / "opt.json", "w") as f:
+        json.dump({"data": {"crop_size": 32}}, f)
+    amend_run_opt(str(tmp_path), "r", "split", {"dataset_len": 7})
+    opt = load_run_opt(str(tmp_path), "r")
+    assert opt["data"]["crop_size"] == 32          # existing keys survive
+    assert opt["split"]["dataset_len"] == 7
+    # absent / corrupt opt.json still records (no crash, fresh dict)
+    amend_run_opt(str(tmp_path / "nowhere"), "r2", "split", {"x": 1})
+    assert load_run_opt(str(tmp_path / "nowhere"), "r2")["split"]["x"] == 1
+
+
+@pytest.mark.slow
+def test_evaluate_holdout_split_record_guards(tmp_path):
+    """ADVICE r4 medium: evaluate.py must PROVE it reproduces the training
+    run's holdout permutation — train writes a split record (dataset_len +
+    phase root) into opt.json; eval rebuilds against the TRAINING phase
+    root and hard-errors on a row-count mismatch instead of silently
+    mixing trained-on rows into holdout_* keys."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    # phase-keyed layout: 8 train rows, 3 test rows (different counts —
+    # evaluating the flat/test root would derive a DIFFERENT permutation)
+    for sub, n in (("train", 8), ("test", 3)):
+        os.makedirs(tmp_path / "data" / sub)
+        for k in range(n):
+            arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(
+                tmp_path / "data" / sub / f"{20 + 5 * k}_0_0_x{k}.jpg")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    common = ["--dataset_mode", "aging", "--dataroot", str(tmp_path / "data"),
+              "--crop_size", "32", "--load_size", "32", "--batch_size", "2",
+              "--n_age_bins", "4", "--netG", "resnet_6blocks", "--ngf", "8",
+              "--ndf", "8", "--dtype", "float32", "--mesh_shape", "1",
+              "--name", "sprec", "--checkpoints_dir", str(tmp_path),
+              "--holdout_frac", "0.25"]
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "train.py"), *common,
+         "--niter", "1", "--niter_decay", "0", "--save_epoch_freq", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=900)
+    assert p.returncode == 0, p.stdout
+    # train.py recorded the resolved split inputs
+    opt = json.load(open(tmp_path / "sprec" / "opt.json"))
+    assert opt["split"]["dataset_len"] == 8
+    assert opt["split"]["phase"] == "train"
+    assert opt["split"]["phase_root"].endswith("train")
+    # eval (phase defaults to 'test' -> 3-row root) must rebuild against
+    # the TRAINING root and succeed with matching holdout keys
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "evaluate.py"), *common,
+         "--num_test", "4", "--results_dir", str(tmp_path / "res")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=900)
+    assert p.returncode == 0, p.stdout
+    assert "reproducing the TRAINING split" in p.stdout
+    rec = json.loads(open(tmp_path / "res" / "sprec" / "eval.jsonl"
+                          ).readline())
+    assert "holdout_fid" in rec and np.isfinite(rec["holdout_fid"])
+    # a row-count mismatch (extra file in the training root) is a HARD
+    # error, not a silently different permutation
+    Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(
+        tmp_path / "data" / "train" / "60_0_0_extra.jpg")
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "evaluate.py"), *common,
+         "--num_test", "4", "--results_dir", str(tmp_path / "res")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=900)
+    assert p.returncode != 0
+    assert "permutation would NOT match" in p.stdout

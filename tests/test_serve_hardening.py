@@ -266,3 +266,31 @@ def test_concurrent_swap_serialized(artifact_dir, monkeypatch):
             httpd2.shutdown()
     finally:
         httpd.shutdown()
+
+
+def test_wrong_token_large_body_closes_without_draining(artifact_dir):
+    """ADVICE r4 low: a tokenless client declaring a large body must not
+    cost the host the read — past the 1 MiB drain cap the 401 closes the
+    connection immediately instead of consuming up to max_body_bytes."""
+    import serve_http
+    httpd, port = _boot(artifact_dir, auth_token="s3cret",
+                        request_timeout=30.0)
+    try:
+        # declare 2 MiB (over the cap, under max_body_bytes) but send
+        # nothing: with a drain the server would block on the absent body
+        # until request_timeout; the capped path replies at once
+        t0 = time.perf_counter()
+        c, r, body = _post(
+            port, "/generate", b"", token="wrong",
+            headers=(("Content-Length",
+                      str(serve_http._REJECT_DRAIN_CAP + (1 << 20))),))
+        assert r.status == 401
+        assert r.getheader("Connection") == "close"
+        assert time.perf_counter() - t0 < 10
+        c.close()
+        # host still healthy on a fresh connection
+        c, r, _ = _post(port, "/generate", _npz_body(), token="s3cret")
+        assert r.status == 200
+        c.close()
+    finally:
+        httpd.shutdown()

@@ -403,6 +403,13 @@ def _warmup(served, b: int):
            served.all_conditions()[np.zeros(b, np.int64)])
 
 
+# max body bytes a REJECTED request (401 wrong-token / 503 shed) is worth
+# draining to preserve keep-alive framing; past this, close the connection
+# like the 413 path does (ADVICE r4: a tokenless client could otherwise
+# force a 256 MiB read per request)
+_REJECT_DRAIN_CAP = 1 << 20
+
+
 def make_server(artifact_dir: str, host: str, port: int,
                 batch_window_ms: float = 0.0, warmup_batch: int = 0,
                 auth_token: str = "", watch_seconds: float = 0.0,
@@ -558,13 +565,19 @@ def make_server(artifact_dir: str, host: str, port: int,
             """Bearer-token check (constant-time). Open routes: GET /
             (demo page carries a token field) and GET /healthz
             (readiness probes — redacted body when auth is on). On
-            failure the pending request body is drained first so
-            keep-alive framing survives the 401."""
+            failure a SMALL pending body is drained so keep-alive framing
+            survives the 401; past the drain cap the connection closes
+            instead — a tokenless client must not be able to make the
+            1-core host read up to --max_body_bytes per rejected request
+            (ADVICE r4; the 413 path already closes without reading)."""
             if self._token_ok():
                 return True
-            self._drain(body_bytes)
+            close = body_bytes > _REJECT_DRAIN_CAP
+            if not close:
+                self._drain(body_bytes)
             self._json(401, {"error": "missing or invalid bearer token "
-                                      "(Authorization: Bearer <token>)"})
+                                      "(Authorization: Bearer <token>)"},
+                       close=close)
             return False
 
         def do_GET(self):
@@ -645,13 +658,17 @@ def make_server(artifact_dir: str, host: str, port: int,
                 return
             if not pending.acquire(blocking=False):
                 # load shedding: bounded in-flight depth; the client
-                # retries (or a fronting LB routes elsewhere)
+                # retries (or a fronting LB routes elsewhere). Same
+                # bounded-drain rule as the 401 path: shed requests must
+                # not cost the host a full body read (ADVICE r4)
                 with stats_lock:
                     stats["rejected"] += 1
-                self._drain(n)
+                close = n > _REJECT_DRAIN_CAP
+                if not close:
+                    self._drain(n)
                 return self._json(
                     503, {"error": f"server busy ({max_pending} requests "
-                                   f"in flight); retry"})
+                                   f"in flight); retry"}, close=close)
             try:
                 self._do_post_body(n)
             finally:

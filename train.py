@@ -82,6 +82,20 @@ def main(argv=None):
         _train_comparator(cfg, mesh, logger, run_dir)
     else:
         ds = data_loader.create_dataset(cfg, train=True)
+        # record the RESOLVED split inputs in opt.json: the holdout
+        # permutation is a pure function of (len(ds), seed), so evaluate.py
+        # can only reproduce it against the same dataset — this record lets
+        # it verify that instead of assuming it (ADVICE r4 medium)
+        from pcgan_tpu.config import amend_run_opt
+        amend_run_opt(cfg.run.checkpoints_dir, cfg.run.name, "split", {
+            "dataset_len": len(ds),
+            "phase": cfg.run.phase,
+            "phase_root": (
+                data_loader.phase_root(cfg.data.dataroot, cfg.run.phase)
+                if cfg.data.dataset_mode in ("aging", "single") else None),
+            "holdout_frac": cfg.data.holdout_frac,
+            "seed": cfg.train.seed,
+        })
         # --holdout_frac: carve a seeded held-out slice BEFORE any loader /
         # cache sees the dataset — training (and train-split eval) only
         # ever touch the (1-f) remainder; the held-out rows feed a second
