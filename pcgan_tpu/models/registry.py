@@ -56,6 +56,16 @@ def define_G(cfg: Config) -> nn.Module:
             "norm — G trains (reference-faithfully) UNCONDITIONAL. Use "
             "--cond_inject bottleneck (or --netG unet_*) for an effective "
             "conditional resnet G.", RuntimeWarning, stacklevel=2)
+    if cfg.model.remat_blocks != -1 and not cfg.model.remat:
+        # the generator applies remat_blocks only when remat=True — a bare
+        # --remat_blocks N silently runs no-remat (the exact foot-gun behind
+        # the ADVICE-r4 512px-recipe finding); warn instead of guessing
+        import warnings
+        warnings.warn(
+            f"--remat_blocks {cfg.model.remat_blocks} without --remat is "
+            f"INERT (the generator rematerializes nothing); pass --remat "
+            f"to make the block dial take effect", RuntimeWarning,
+            stacklevel=2)
     kw = _common(cfg)
     kw.update(output_nc=cfg.data.output_nc, ngf=cfg.model.ngf,
               use_dropout=not cfg.model.no_dropout,

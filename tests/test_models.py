@@ -357,3 +357,19 @@ def test_instance_norm_cancels_input_injection_resnet(rng):
     with pytest.warns(RuntimeWarning, match="UNCONDITIONAL"):
         define_G(_cfg(netG="resnet_6blocks", norm="instance",
                       cond_inject="input"))
+
+
+def test_inert_remat_blocks_warns():
+    """ADVICE r4 high (generalized): remat_blocks without remat does
+    nothing in the generator — setting it must warn instead of silently
+    running a no-remat graph the user thinks is block-remat'd."""
+    import warnings
+    with pytest.warns(RuntimeWarning, match="INERT"):
+        define_G(_cfg(netG="resnet_6blocks", cond_inject="bottleneck",
+                      remat_blocks=3))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        # with remat on (or the -1 default) there is nothing to warn about
+        define_G(_cfg(netG="resnet_6blocks", cond_inject="bottleneck",
+                      remat=True, remat_blocks=3))
+        define_G(_cfg(netG="resnet_6blocks", cond_inject="bottleneck"))
