@@ -311,6 +311,25 @@ def make_fid_evaluator(cfg: Config, G, comparator: Optional[Tuple] = None,
             seen += int(raw["image"].shape[0]) * n_proc
             if max_images and seen >= max_images:
                 break
+        # The streamed loop above is the LAST multi-device work. Every
+        # carried value is replicated here, and the epilogue metric math
+        # (Frechet eigh chain, KID MMD, PRDC k-NN, per-bin FID) runs
+        # EAGERLY below — op by op. Running those eager ops on MESH-placed
+        # arrays dispatches little multi-device programs whose collectives
+        # rendezvous through xla::cpu::InProcessCommunicator on the CPU
+        # backend, and on a starved host a participant can miss the
+        # rendezvous watchdog (xla::internal::AwaitAndLogIfStuck) and
+        # CHECK-ABORT the process. This was the r3→r5 "full-suite SIGABRT
+        # inside fid_from_stats" — root-caused this round: NOT eigh/LAPACK
+        # and NOT cross-test accumulation; reproduced standalone at ~20%
+        # per call on the 1-core CPU-mesh host (native stack in
+        # PROGRESS.md r5). Pulling the small replicated carries to host
+        # makes the epilogue single-device by construction; numerics are
+        # unchanged (same values, same ops, default device).
+        (r_stats, f_stats, hits, n, ssim_sum, lpips_sum) = jax.device_get(
+            (r_stats, f_stats, hits, n, ssim_sum, lpips_sum))
+        if bufs is not None:
+            bufs = jax.device_get(bufs)
         if frozen_real is not None:
             out = {"fid": float(fid_ops.fid_from_stats(frozen_real, f_stats)),
                    "fid_stream": float(fid_ops.fid_from_stats(r_stats,
