@@ -82,36 +82,47 @@ def main(argv=None):
                          "--num_test budget (>0) to size their feature "
                          "buffers")
     run = make_fid_evaluator(cfg, G, load_comparator_bundle(cfg), mesh=mesh)
-    ds = data_loader.create_dataset(cfg, train=False)
     # --holdout_frac: reproduce the TRAINING run's seeded split (same seed,
     # same permutation) and report both sides — metrics vs the rows the
     # model trained on AND vs the rows it never saw (VERDICT r3 item 3c:
-    # train-vs-held-out side by side in eval.jsonl)
+    # train-vs-held-out side by side in eval.jsonl). The split is a pure
+    # function of (len(ds), frac, seed), so reproduction is verified
+    # against the split record train.py writes into opt.json (ADVICE r4
+    # medium): resolve the TRAINING phase root BEFORE building the dataset
+    # (one build, not build-then-rebuild), hard-error on any frac/seed/
+    # row-count mismatch — each corrupts the permutation equally, silently
+    # mixing trained-on rows into holdout_* keys.
+    _sp = None
+    ds_cfg = cfg
     if cfg.data.holdout_frac > 0:
-        # the split is a pure function of (len(ds), seed): evaluating with
-        # a different frac/seed than the training run SILENTLY mixes
-        # trained-on rows into the "held-out" set — check opt.json loudly
         from pcgan_tpu.config import load_run_opt, opt_value
         _opt = load_run_opt(cfg.run.checkpoints_dir, cfg.run.name)
-        if _opt is not None:
+        if _opt is None:
+            print("WARNING: no readable opt.json for this run — cannot "
+                  "verify the held-out split matches training; holdout_* "
+                  "keys are only meaningful if --dataroot/--phase/"
+                  "--holdout_frac/--seed exactly match the training run",
+                  flush=True)
+        else:
             tf = opt_value(_opt, "data", "holdout_frac", 0.0)
             tseed = opt_value(_opt, "train", "seed", cfg.train.seed)
             if (tf != cfg.data.holdout_frac) or (tseed != cfg.train.seed):
-                print(f"WARNING: this run trained with holdout_frac={tf} "
-                      f"seed={tseed} but eval got "
-                      f"--holdout_frac {cfg.data.holdout_frac} --seed "
-                      f"{cfg.train.seed} — the 'held-out' rows will NOT "
-                      f"match the training split (holdout_* keys would mix "
-                      f"trained-on rows)", flush=True)
-        # the split record (written by train.py after it resolved its
-        # dataset) makes the reproduction VERIFIABLE: rebuild against the
-        # TRAINING phase root when it differs (run.phase defaults to 'test'
-        # here but training read 'train'), then require the row count to
-        # match — a different directory or count yields a different
-        # permutation, silently mixing trained-on rows into holdout_* keys
-        # (ADVICE r4 medium)
-        _sp = (_opt or {}).get("split")
-        if isinstance(_sp, dict):
+                raise SystemExit(
+                    f"--holdout_frac: this run trained with "
+                    f"holdout_frac={tf} seed={tseed} but eval got "
+                    f"--holdout_frac {cfg.data.holdout_frac} --seed "
+                    f"{cfg.train.seed} — a different frac or seed derives "
+                    f"a DIFFERENT permutation, so holdout_* keys would "
+                    f"silently mix trained-on rows. Pass the training "
+                    f"values (or drop --holdout_frac for a plain eval)")
+            _sp = _opt.get("split")
+            _sp = _sp if isinstance(_sp, dict) else None
+            if _sp is None:
+                print("WARNING: opt.json has no split record (run predates "
+                      "it) — cannot verify the held-out split matches "
+                      "training; ensure --dataroot/--phase resolve the "
+                      "same rows", flush=True)
+        if _sp is not None:
             t_phase = _sp.get("phase")
             if (isinstance(t_phase, str) and t_phase
                     and cfg.data.dataset_mode in ("aging", "single")):
@@ -123,25 +134,20 @@ def main(argv=None):
                           f"reading {t_root} (the run trained with --phase "
                           f"{t_phase}), not {e_root}", flush=True)
                     from pcgan_tpu.config import replace as _rep
-                    ds = data_loader.create_dataset(
-                        _rep(cfg, run=_rep(cfg.run, phase=t_phase)),
-                        train=False)
-            tlen = _sp.get("dataset_len")
-            if isinstance(tlen, int) and tlen != len(ds):
-                raise SystemExit(
-                    f"--holdout_frac: the training run resolved a "
-                    f"{tlen}-row dataset (opt.json split record: phase "
-                    f"{_sp.get('phase')!r}, root {_sp.get('phase_root')!r}) "
-                    f"but eval resolved {len(ds)} rows — the held-out "
-                    f"permutation would NOT match the training split, so "
-                    f"holdout_* keys would silently mix trained-on rows. "
-                    f"Point --dataroot/--max_dataset_size at the training "
-                    f"run's data (or drop --holdout_frac for a plain eval)")
-        elif _opt is not None:
-            print("WARNING: opt.json has no split record (run predates it) "
-                  "— cannot verify the held-out split matches training; "
-                  "ensure --dataroot/--phase resolve the same rows",
-                  flush=True)
+                    ds_cfg = _rep(cfg, run=_rep(cfg.run, phase=t_phase))
+    ds = data_loader.create_dataset(ds_cfg, train=False)
+    if _sp is not None:
+        tlen = _sp.get("dataset_len")
+        if isinstance(tlen, int) and tlen != len(ds):
+            raise SystemExit(
+                f"--holdout_frac: the training run resolved a "
+                f"{tlen}-row dataset (opt.json split record: phase "
+                f"{_sp.get('phase')!r}, root {_sp.get('phase_root')!r}) "
+                f"but eval resolved {len(ds)} rows — the held-out "
+                f"permutation would NOT match the training split, so "
+                f"holdout_* keys would silently mix trained-on rows. "
+                f"Point --dataroot/--max_dataset_size at the training "
+                f"run's data (or drop --holdout_frac for a plain eval)")
     ds, ds_hold = data_loader.split_holdout(ds, cfg.data.holdout_frac,
                                             seed=cfg.train.seed)
     # multi-process pods: each host loads a disjoint per-host slice that

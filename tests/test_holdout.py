@@ -168,6 +168,7 @@ def test_evaluate_cli_reports_holdout(tmp_path):
               "--crop_size", "32", "--load_size", "32", "--batch_size", "4",
               "--n_age_bins", "4", "--netG", "resnet_6blocks", "--ngf", "8",
               "--ndf", "8", "--dtype", "float32", "--mesh_shape", "1",
+              "--holdout_frac", "0.25",
               "--name", "hoev", "--checkpoints_dir", str(tmp_path)]
     p = subprocess.run(
         [sys.executable, os.path.join(root, "train.py"), *common,
@@ -177,8 +178,7 @@ def test_evaluate_cli_reports_holdout(tmp_path):
     assert p.returncode == 0, p.stdout
     p = subprocess.run(
         [sys.executable, os.path.join(root, "evaluate.py"), *common,
-         "--holdout_frac", "0.25", "--num_test", "8",
-         "--results_dir", str(tmp_path / "res")],
+         "--num_test", "8", "--results_dir", str(tmp_path / "res")],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, timeout=900)
     assert p.returncode == 0, p.stdout
@@ -186,6 +186,17 @@ def test_evaluate_cli_reports_holdout(tmp_path):
                           ).readline())
     assert "fid" in rec and "holdout_fid" in rec, rec
     assert np.isfinite(rec["holdout_fid"])
+    # a frac (or seed) that differs from the training run derives a
+    # DIFFERENT permutation — as corrupting as a row-count mismatch, and
+    # since the r5 review a HARD error, not a scrolled-past warning
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "evaluate.py"),
+         *[a if a != "0.25" else "0.5" for a in common],
+         "--num_test", "8", "--results_dir", str(tmp_path / "res")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=900)
+    assert p.returncode != 0
+    assert "DIFFERENT permutation" in p.stdout, p.stdout
 
 
 def test_amend_run_opt_merges_atomically(tmp_path):

@@ -31,6 +31,8 @@ def _invocations(path):
     text = text.replace("\\\n", " ")
     for line in text.splitlines():
         line = line.strip()
+        if line.startswith("exec "):        # exec python tools/serve_http.py
+            line = line[len("exec "):]
         if not line.startswith("python "):
             continue
         # ${VAR:-default} -> default; "${ARR[@]}" / "$@" -> dropped;
